@@ -1,0 +1,182 @@
+"""Configuration tree for genpose_tpu.
+
+Replaces the reference's argparse monolith (``configs/config.py:4-112``) with a
+plain dataclass so that no module imports flags at module scope (the reference
+couples the encoder width to a global CLI parse at
+``networks/pts_encoder/pointnet2.py:13``; here the encoder takes its config as
+an argument).
+
+Defaults mirror the reference defaults / the released training scripts
+(``scripts/train_score.sh``, ``scripts/train_energy.sh``,
+``scripts/eval_single.sh``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+from dataclasses import dataclass, field
+from typing import List, Optional, Tuple
+
+
+@dataclass
+class DynamicZoomInConfig:
+    """DZI bbox jitter parameters (reference ``configs/config.py:90-95``)."""
+
+    pad_scale: float = 1.5
+    dzi_type: str = "uniform"
+    scale_ratio: float = 0.25
+    shift_ratio: float = 0.25
+
+
+@dataclass
+class PtsAugConfig:
+    """Batched 3D augmentation probabilities (reference ``configs/config.py:97-104``)."""
+
+    aug_pc_pro: float = 0.2   # per-point jitter probability
+    aug_pc_r: float = 0.2     # per-point jitter range
+    aug_rt_pro: float = 0.3   # random rotation/translation probability
+    aug_bb_pro: float = 0.3   # bbox-based anisotropic scaling probability
+    aug_bc_pro: float = 0.3   # bowl/mug box-cage deformation probability
+
+
+@dataclass
+class Deform2DConfig:
+    """2D mask deformation parameters (reference ``configs/config.py:106-110``)."""
+
+    roi_mask_r: int = 3
+    roi_mask_pro: float = 0.5
+
+
+@dataclass
+class Config:
+    """Full configuration (reference ``configs/config.py:4-112``)."""
+
+    # ---- dataset ----
+    synset_names: Tuple[str, ...] = ("bottle", "bowl", "camera", "can", "laptop", "mug")
+    selected_classes: Optional[Tuple[str, ...]] = None
+    data_path: str = ""
+    o2c_pose: bool = True
+    batch_size: int = 192
+    max_batch_size: int = 192
+    mini_bs: int = 192
+    pose_mode: str = "rot_matrix"
+    seed: int = 0
+    percentage_data_for_train: float = 1.0
+    percentage_data_for_val: float = 1.0
+    percentage_data_for_test: float = 1.0
+    train_source: str = "CAMERA+Real"
+    val_source: str = "CAMERA"
+    test_source: str = "Real"
+    device: str = "tpu"
+    num_points: int = 1024
+    per_obj: str = ""
+    num_workers: int = 8
+
+    # ---- model ----
+    posenet_mode: str = "score"
+    hidden_dim: int = 128
+    sampler_mode: Tuple[str, ...] = ("ode",)
+    sampling_steps: int = 500
+    sde_mode: str = "ve"
+    sigma: float = 25.0
+    likelihood_weighting: bool = False
+    regression_head: str = "Rx_Ry_and_T"
+    pointnet2_params: str = "light"
+    pts_encoder: str = "pointnet2"
+    energy_mode: str = "IP"
+    s_theta_mode: str = "score"
+    norm_energy: str = "identical"
+
+    # ---- training ----
+    agent_type: str = "score"  # one of [score, energy, energy_with_ranking]
+    pretrained_score_model_path: Optional[str] = None
+    pretrained_energy_model_path: Optional[str] = None
+    distillation: bool = False
+    n_epochs: int = 1000
+    log_dir: str = "debug"
+    optimizer: str = "Adam"
+    eval_freq: int = 100
+    repeat_num: int = 20
+    grad_clip: float = 1.0
+    ema_rate: float = 0.999
+    lr: float = 1e-3
+    warmup: int = 100
+    lr_decay: float = 0.98
+    lr_floor: float = 1e-4  # decay is frozen below this lr (posenet_agent.py:549)
+    use_pretrain: bool = False
+    # TPU parallelism: number of data-parallel devices (mesh axis "dp").
+    # Replaces the reference's --parallel/--num_gpu DataParallel flags.
+    num_devices: int = 0  # 0 => use all available
+    is_train: bool = False
+
+    # ---- precision / performance (TPU-specific) ----
+    # Compute dtype for the encoder/score-net matmuls; params stay f32.
+    compute_dtype: str = "float32"  # or "bfloat16"
+
+    # ---- testing ----
+    eval: bool = False
+    pred: bool = False
+    model_name: Optional[str] = None
+    eval_repeat_num: int = 50
+    save_video: bool = False
+    max_eval_num: int = 10_000_000
+    results_path: str = ""
+    T0: float = 1.0
+
+    # ---- nocs mrcnn testing ----
+    img_size: int = 256
+    result_dir: str = ""
+    model_dir_list: Optional[Tuple[str, ...]] = None
+    energy_model_dir: str = ""
+    score_model_dir: str = ""
+    ranker: str = "energy_ranker"  # energy_ranker, gt_ranker or random
+    pooling_mode: str = "nearest"  # nearest or average
+
+    # ---- nested parameter groups ----
+    dzi: DynamicZoomInConfig = field(default_factory=DynamicZoomInConfig)
+    pts_aug: PtsAugConfig = field(default_factory=PtsAugConfig)
+    deform_2d: Deform2DConfig = field(default_factory=Deform2DConfig)
+
+    def replace(self, **kwargs) -> "Config":
+        return dataclasses.replace(self, **kwargs)
+
+
+def _add_dataclass_args(parser: argparse.ArgumentParser, cls) -> None:
+    for f in dataclasses.fields(cls):
+        if dataclasses.is_dataclass(f.type) or f.name in ("dzi", "pts_aug", "deform_2d"):
+            continue
+        name = "--" + f.name
+        default = f.default if f.default is not dataclasses.MISSING else None
+        if f.type in ("bool", bool):
+            parser.add_argument(name, type=lambda s: s.lower() in ("1", "true", "yes"),
+                                default=default)
+        elif f.type in ("Tuple[str, ...]",) or isinstance(default, tuple):
+            parser.add_argument(name, nargs="+", default=default)
+        elif isinstance(default, int):
+            parser.add_argument(name, type=int, default=default)
+        elif isinstance(default, float):
+            parser.add_argument(name, type=float, default=default)
+        else:
+            parser.add_argument(name, type=str, default=default)
+
+
+def get_config(argv: Optional[List[str]] = None) -> Config:
+    """Build a Config, optionally overridden from CLI-style arguments.
+
+    Unlike the reference, this never parses ``sys.argv`` implicitly at import
+    time; pass ``argv`` explicitly in entry points.
+    """
+    parser = argparse.ArgumentParser(description="genpose_tpu")
+    _add_dataclass_args(parser, Config)
+    ns, _ = parser.parse_known_args(argv if argv is not None else [])
+    overrides = {}
+    for f in dataclasses.fields(Config):
+        if f.name in ("dzi", "pts_aug", "deform_2d"):
+            continue
+        v = getattr(ns, f.name, None)
+        if v is not None:
+            if isinstance(v, list):
+                v = tuple(v)
+            overrides[f.name] = v
+    return Config(**overrides)

@@ -1,0 +1,151 @@
+"""TPU-native point-cloud primitives (replaces the reference CUDA extension).
+
+Reference semantics being reproduced (cited per op):
+
+- furthest point sampling: ``src/sampling_gpu.cu:93-208`` — seed index 0,
+  then m-1 rounds of (min-distance update, full-N argmax).
+- ball query: ``src/ball_query_gpu.cu:9-45`` — for each center, the first
+  ``nsample`` point indices (in index order) with d^2 < r^2, padded with the
+  *first* hit; all-zero row if no point is in the ball.
+- gather / group: ``src/sampling_gpu.cu:8-44``, ``src/group_points_gpu.cu`` —
+  plain gathers; the hand-written atomic-add backward is free via XLA autodiff.
+- three_nn / three_interpolate: ``src/interpolate_gpu.cu`` — 3-NN inverse
+  distance interpolation (only used by the segmentation FP path).
+
+Layout note: this framework is channels-LAST (``[B, N, C]``) throughout —
+idiomatic for XLA (feature dim maps to MXU lanes), unlike the reference's
+``[B, C, N]``.
+
+The ball query avoids materializing per-slot one-hots via a monotone-rank
+trick: with ``ranks = cumsum(mask)`` along N, the index of the (s+1)-th
+in-ball point is ``sum_n(ranks[n] <= s)`` (count of positions before the
+cumsum reaches s+1), a fused broadcast-reduce on the VPU; the distance term
+is a single MXU matmul.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from genpose_tpu.ops.fps_pallas import fps_pallas
+
+
+# ---------------------------------------------------------------------------
+# Furthest point sampling
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def farthest_point_sample_ref(xyz: jnp.ndarray, npoint: int) -> jnp.ndarray:
+    """Pure-XLA FPS oracle via ``lax.scan`` (parity target for the Pallas kernel).
+
+    xyz: [B, N, 3] -> idx [B, npoint] int32.  Matches ``sampling_gpu.cu:93-208``:
+    the first selected index is always 0.
+    """
+    B, N, _ = xyz.shape
+
+    def step(carry, _):
+        mindist, last = carry  # [B, N], [B]
+        last_xyz = jnp.take_along_axis(xyz, last[:, None, None].repeat(3, -1), axis=1)
+        d = jnp.sum((xyz - last_xyz) ** 2, axis=-1)  # [B, N]
+        mindist = jnp.minimum(mindist, d)
+        nxt = jnp.argmax(mindist, axis=-1).astype(jnp.int32)
+        return (mindist, nxt), nxt
+
+    init = (jnp.full((B, N), 1e10, xyz.dtype), jnp.zeros((B,), jnp.int32))
+    (_, _), idx = jax.lax.scan(step, init, None, length=npoint - 1)
+    idx = jnp.concatenate([jnp.zeros((1, B), jnp.int32), idx], axis=0)
+    return idx.T  # [B, npoint]
+
+
+def farthest_point_sample(xyz: jnp.ndarray, npoint: int) -> jnp.ndarray:
+    """FPS: Pallas kernel on TPU, XLA scan elsewhere.  xyz [B, N, 3] -> [B, npoint]."""
+    platform = xyz.devices().pop().platform if hasattr(xyz, "devices") else None
+    if platform == "tpu" or jax.default_backend() == "tpu":
+        return fps_pallas(xyz, npoint)
+    return farthest_point_sample_ref(xyz, npoint)
+
+
+# ---------------------------------------------------------------------------
+# Gather / group (plain XLA gathers; autodiff provides the scatter-add bwd)
+# ---------------------------------------------------------------------------
+
+def gather_points(points: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """points [B, N, C], idx [B, M] -> [B, M, C] (ref ``sampling_gpu.cu:8-24``)."""
+    return jnp.take_along_axis(points, idx[..., None].astype(jnp.int32), axis=1,
+                               mode="promise_in_bounds")
+
+
+def group_points(points: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """points [B, N, C], idx [B, M, S] -> [B, M, S, C] (ref ``group_points_gpu.cu:47-86``)."""
+    B, M, S = idx.shape
+    flat = idx.reshape(B, M * S)
+    out = jnp.take_along_axis(points, flat[..., None].astype(jnp.int32), axis=1,
+                              mode="promise_in_bounds")
+    return out.reshape(B, M, S, points.shape[-1])
+
+
+# ---------------------------------------------------------------------------
+# Ball query
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def ball_query(radius: float, nsample: int, xyz: jnp.ndarray, new_xyz: jnp.ndarray) -> jnp.ndarray:
+    """Exact CUDA ball-query semantics (ref ``ball_query_gpu.cu:29-43``).
+
+    xyz: [B, N, 3] points; new_xyz: [B, M, 3] centers.
+    Returns idx [B, M, nsample] int32: first ``nsample`` in-ball indices in
+    index order, padded with the first hit; zeros when the ball is empty.
+    """
+    # Direct per-coordinate differences (three fused [B, M, N] VPU ops).
+    # A |c|^2+|x|^2-2c.x matmul expansion is NOT used: K=3 wastes the MXU's
+    # 128-deep systolic array and the cancellation error flips boundary
+    # points vs the CUDA kernel's direct difference.
+    d2 = sum(
+        (new_xyz[..., c][..., None] - xyz[..., c][:, None, :]) ** 2
+        for c in range(3)
+    )  # [B, M, N]
+    mask = d2 < radius * radius
+    ranks = jnp.cumsum(mask.astype(jnp.int32), axis=-1)  # [B, M, N], nondecreasing
+    cnt = ranks[..., -1]  # [B, M] number of in-ball points
+
+    # Index of the (s+1)-th hit == #positions where cumsum <= s (monotone rank).
+    s_arr = jnp.arange(nsample, dtype=jnp.int32)  # [S]
+    sel = jnp.sum(
+        (ranks[..., None, :] <= s_arr[:, None]).astype(jnp.int32), axis=-1
+    )  # [B, M, S]; == N (out of range) when the ball has <= s hits
+
+    first_hit = sel[..., 0]  # valid iff cnt > 0
+    pad = jnp.where(cnt > 0, first_hit, 0)[..., None]  # [B, M, 1]
+    idx = jnp.where(s_arr[None, None, :] < cnt[..., None], sel, pad)
+    return idx.astype(jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# Three-NN interpolation (FP path parity; ref ``interpolate_gpu.cu``)
+# ---------------------------------------------------------------------------
+
+def three_nn(unknown: jnp.ndarray, known: jnp.ndarray):
+    """3 nearest neighbors of each unknown point among known points.
+
+    unknown: [B, N, 3]; known: [B, M, 3] -> (dist [B, N, 3], idx [B, N, 3]).
+    Distances are Euclidean (sqrt), like the reference wrapper
+    (``pointnet2_utils.py:99`` applies sqrt to the kernel's d^2).
+    """
+    d2 = sum(
+        (unknown[..., c][..., None] - known[..., c][:, None, :]) ** 2
+        for c in range(3)
+    )
+    neg_d2, idx = jax.lax.top_k(-d2, 3)
+    return jnp.sqrt(jnp.clip(-neg_d2, 0.0)), idx.astype(jnp.int32)
+
+
+def three_interpolate(features: jnp.ndarray, idx: jnp.ndarray, weight: jnp.ndarray) -> jnp.ndarray:
+    """Inverse-distance weighted blend (ref ``interpolate_gpu.cu:77-106``).
+
+    features: [B, M, C]; idx/weight: [B, N, 3] -> [B, N, C].
+    """
+    gathered = group_points(features, idx)  # [B, N, 3, C]
+    return jnp.sum(gathered * weight[..., None], axis=2)

@@ -1,0 +1,176 @@
+"""Tests for the TPU point-cloud primitives vs numpy oracles with exact
+reference (CUDA) semantics."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from genpose_tpu.ops import pointcloud as pc
+from genpose_tpu.ops.fps_pallas import fps_pallas
+
+
+# ---------------------------------------------------------------------------
+# numpy oracles transcribing the CUDA semantics
+# ---------------------------------------------------------------------------
+
+def fps_numpy(xyz, npoint):
+    """sampling_gpu.cu:93-208: seed 0, iterative min-dist argmax."""
+    B, N, _ = xyz.shape
+    idx = np.zeros((B, npoint), np.int32)
+    for b in range(B):
+        mind = np.full(N, 1e10, np.float64)
+        old = 0
+        for j in range(1, npoint):
+            d = np.sum((xyz[b] - xyz[b, old]) ** 2, axis=-1)
+            mind = np.minimum(mind, d)
+            old = int(np.argmax(mind))
+            idx[b, j] = old
+    return idx
+
+
+def ball_query_numpy(radius, nsample, xyz, new_xyz):
+    """ball_query_gpu.cu:29-43 transcription."""
+    B, N, _ = xyz.shape
+    M = new_xyz.shape[1]
+    idx = np.zeros((B, M, nsample), np.int32)
+    r2 = radius * radius
+    for b in range(B):
+        for m in range(M):
+            cnt = 0
+            for k in range(N):
+                d2 = np.sum((new_xyz[b, m] - xyz[b, k]) ** 2)
+                if d2 < r2:
+                    if cnt == 0:
+                        idx[b, m, :] = k
+                    idx[b, m, cnt] = k
+                    cnt += 1
+                    if cnt >= nsample:
+                        break
+    return idx
+
+
+def test_fps_ref_matches_numpy():
+    rng = np.random.default_rng(0)
+    xyz = rng.normal(size=(4, 100, 3)).astype(np.float32)
+    got = np.asarray(pc.farthest_point_sample_ref(jnp.asarray(xyz), 16))
+    want = fps_numpy(xyz, 16)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_fps_pallas_matches_ref():
+    rng = np.random.default_rng(1)
+    xyz = rng.normal(size=(3, 256, 3)).astype(np.float32)
+    got = np.asarray(fps_pallas(jnp.asarray(xyz), 64))
+    want = np.asarray(pc.farthest_point_sample_ref(jnp.asarray(xyz), 64))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_fps_pallas_unaligned_n():
+    """N not a multiple of 1024: padded tail must never be selected."""
+    rng = np.random.default_rng(2)
+    xyz = rng.normal(size=(2, 777, 3)).astype(np.float32)
+    got = np.asarray(fps_pallas(jnp.asarray(xyz), 32))
+    assert got.max() < 777
+    want = fps_numpy(xyz, 32)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_fps_first_index_is_zero():
+    rng = np.random.default_rng(3)
+    xyz = rng.normal(size=(2, 64, 3)).astype(np.float32)
+    got = np.asarray(pc.farthest_point_sample(jnp.asarray(xyz), 8))
+    assert (got[:, 0] == 0).all()
+
+
+def test_fps_spread():
+    """FPS should cover the cloud better than the first-k points."""
+    rng = np.random.default_rng(4)
+    xyz = rng.normal(size=(1, 512, 3)).astype(np.float32)
+    idx = np.asarray(pc.farthest_point_sample_ref(jnp.asarray(xyz), 32))[0]
+    sel = xyz[0, idx]
+    # chamfer-ish coverage: max distance from any point to nearest selected
+    d = np.linalg.norm(xyz[0][:, None] - sel[None], axis=-1).min(-1).max()
+    d_naive = np.linalg.norm(
+        xyz[0][:, None] - xyz[0, :32][None], axis=-1).min(-1).max()
+    assert d < d_naive
+
+
+def test_ball_query_matches_numpy():
+    rng = np.random.default_rng(5)
+    xyz = rng.uniform(size=(2, 128, 3)).astype(np.float32)
+    new_xyz = xyz[:, :16]
+    for radius, nsample in [(0.1, 8), (0.3, 16), (0.02, 4)]:
+        got = np.asarray(pc.ball_query(radius, nsample, jnp.asarray(xyz),
+                                       jnp.asarray(new_xyz)))
+        want = ball_query_numpy(radius, nsample, xyz, new_xyz)
+        np.testing.assert_array_equal(got, want)
+
+
+def test_ball_query_empty_ball_is_zero():
+    """No point in radius -> all-zero row (CUDA zero-init)."""
+    xyz = jnp.asarray(np.array([[[10.0, 10, 10], [20, 20, 20]]], np.float32))
+    new_xyz = jnp.asarray(np.zeros((1, 1, 3), np.float32))
+    got = np.asarray(pc.ball_query(0.5, 4, xyz, new_xyz))
+    np.testing.assert_array_equal(got, np.zeros((1, 1, 4), np.int32))
+
+
+def test_ball_query_first_hit_padding():
+    """Fewer hits than nsample -> pad with the FIRST hit, not zero."""
+    xyz = np.zeros((1, 10, 3), np.float32) + 100.0
+    xyz[0, 3] = [0.0, 0, 0]
+    xyz[0, 7] = [0.01, 0, 0]
+    new_xyz = np.zeros((1, 1, 3), np.float32)
+    got = np.asarray(pc.ball_query(0.5, 6, jnp.asarray(xyz), jnp.asarray(new_xyz)))[0, 0]
+    np.testing.assert_array_equal(got, [3, 7, 3, 3, 3, 3])
+
+
+def test_gather_and_group():
+    rng = np.random.default_rng(6)
+    feats = rng.normal(size=(2, 32, 5)).astype(np.float32)
+    idx = rng.integers(0, 32, size=(2, 7)).astype(np.int32)
+    got = np.asarray(pc.gather_points(jnp.asarray(feats), jnp.asarray(idx)))
+    for b in range(2):
+        np.testing.assert_array_equal(got[b], feats[b, idx[b]])
+
+    gidx = rng.integers(0, 32, size=(2, 7, 4)).astype(np.int32)
+    gg = np.asarray(pc.group_points(jnp.asarray(feats), jnp.asarray(gidx)))
+    for b in range(2):
+        for m in range(7):
+            np.testing.assert_array_equal(gg[b, m], feats[b, gidx[b, m]])
+
+
+def test_gather_backward_is_scatter_add():
+    """Autodiff through gather must scatter-add like the CUDA backward."""
+    import jax
+    feats = jnp.asarray(np.arange(12, dtype=np.float32).reshape(1, 6, 2))
+    idx = jnp.asarray(np.array([[0, 0, 3]], np.int32))
+
+    def loss(f):
+        return jnp.sum(pc.gather_points(f, idx))
+
+    g = np.asarray(jax.grad(loss)(feats))[0]
+    expected = np.zeros((6, 2))
+    expected[0] = 2.0  # gathered twice
+    expected[3] = 1.0
+    np.testing.assert_array_equal(g, expected)
+
+
+def test_three_nn_and_interpolate():
+    rng = np.random.default_rng(7)
+    unknown = rng.normal(size=(1, 20, 3)).astype(np.float32)
+    known = rng.normal(size=(1, 8, 3)).astype(np.float32)
+    dist, idx = pc.three_nn(jnp.asarray(unknown), jnp.asarray(known))
+    dist, idx = np.asarray(dist), np.asarray(idx)
+    # oracle
+    d_full = np.linalg.norm(unknown[0][:, None] - known[0][None], axis=-1)
+    order = np.argsort(d_full, axis=-1)[:, :3]
+    np.testing.assert_allclose(np.sort(dist[0], -1), np.sort(
+        np.take_along_axis(d_full, order, -1), -1), atol=1e-4)
+    assert set(map(tuple, np.sort(idx[0], -1))) == set(map(tuple, np.sort(order, -1)))
+
+    feats = rng.normal(size=(1, 8, 4)).astype(np.float32)
+    w = 1.0 / (dist + 1e-8)
+    w = w / w.sum(-1, keepdims=True)
+    out = np.asarray(pc.three_interpolate(jnp.asarray(feats), jnp.asarray(idx),
+                                          jnp.asarray(w)))
+    want = np.einsum("nk,nkc->nc", w[0], feats[0][idx[0]])
+    np.testing.assert_allclose(out[0], want, atol=1e-5)
