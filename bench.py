@@ -1,0 +1,82 @@
+"""Headline benchmark: full GenPose inference throughput (poses/sec).
+
+Workload = the reference's eval configuration (BASELINE.md): a batch of
+segmented object point clouds -> PointNet++ encoding -> K=50 pose
+hypotheses via the 500-step PF-ODE sampler -> EnergyNet scoring ->
+energy sort + top-60% quaternion-average pooling.  Everything after the
+host->device copy is jitted; "poses" = object instances, each with K=50
+candidates (the reference counts the same way).
+
+Baseline: the reference publishes NO throughput numbers (BASELINE.md).  The
+``vs_baseline`` field is measured against an ESTIMATE of the torch reference
+on its RTX 3090: scipy RK45 with host round-trips every step
+(``samplers.py:183-198``), ~600 score evals per solve at bs*K=12800, ~60
+poses/sec end to end.  The north-star target is >10x that (>600 poses/sec).
+
+Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BASELINE_POSES_PER_SEC = 60.0  # estimated RTX-3090 reference throughput
+
+
+def main():
+    from genpose_tpu.config import Config
+    from genpose_tpu.training.agent import PoseAgent
+    from genpose_tpu.training.ranking import sort_poses_by_energy
+
+    bs = int(os.environ.get("BENCH_BATCH", "64"))
+    K = int(os.environ.get("BENCH_K", "50"))
+    steps = int(os.environ.get("BENCH_STEPS", "500"))
+    iters = int(os.environ.get("BENCH_ITERS", "3"))
+
+    cfg = Config(num_points=1024, eval_repeat_num=K, sampling_steps=steps,
+                 batch_size=bs, compute_dtype="bfloat16")
+    score_agent = PoseAgent(cfg, "score", steps_per_epoch=100)
+    energy_agent = PoseAgent(cfg, "energy", steps_per_epoch=100)
+
+    rng = np.random.default_rng(0)
+    pts = jnp.asarray(rng.normal(size=(bs, cfg.num_points, 3)).astype(np.float32) * 0.1)
+    center = jnp.mean(pts, axis=1)
+    batch = {
+        "zero_mean_pts": pts - center[:, None, :],
+        "pts_center": center,
+    }
+
+    def full_inference(key):
+        pred = score_agent.sample(batch, key, repeat_num=K, sampler="ode",
+                                  num_steps=steps, T0=0.55)
+        energy = energy_agent.get_energy(batch, pred, T=1e-5)
+        sorted_pose, _ = sort_poses_by_energy(pred, energy)
+        keep = max(1, int(0.6 * K))
+        _, avg = score_agent.aggregate_hypotheses(sorted_pose[:, :keep])
+        return avg
+
+    # warmup / compile
+    out = full_inference(jax.random.PRNGKey(0))
+    out.block_until_ready()
+
+    t0 = time.perf_counter()
+    for i in range(iters):
+        out = full_inference(jax.random.PRNGKey(i + 1))
+    out.block_until_ready()
+    dt = time.perf_counter() - t0
+
+    poses_per_sec = bs * iters / dt
+    print(json.dumps({
+        "metric": "inference_poses_per_sec_K50_ode500",
+        "value": round(poses_per_sec, 2),
+        "unit": "poses/s",
+        "vs_baseline": round(poses_per_sec / BASELINE_POSES_PER_SEC, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

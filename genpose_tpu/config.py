@@ -19,7 +19,7 @@ from dataclasses import dataclass, field
 from typing import List, Optional, Tuple
 
 
-@dataclass
+@dataclass(frozen=True)
 class DynamicZoomInConfig:
     """DZI bbox jitter parameters (reference ``configs/config.py:90-95``)."""
 
@@ -29,7 +29,7 @@ class DynamicZoomInConfig:
     shift_ratio: float = 0.25
 
 
-@dataclass
+@dataclass(frozen=True)
 class PtsAugConfig:
     """Batched 3D augmentation probabilities (reference ``configs/config.py:97-104``)."""
 
@@ -40,7 +40,7 @@ class PtsAugConfig:
     aug_bc_pro: float = 0.3   # bowl/mug box-cage deformation probability
 
 
-@dataclass
+@dataclass(frozen=True)
 class Deform2DConfig:
     """2D mask deformation parameters (reference ``configs/config.py:106-110``)."""
 

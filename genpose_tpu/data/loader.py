@@ -1,0 +1,145 @@
+"""Thread-pool prefetching data loader (replaces torch DataLoader).
+
+The reference feeds the GPU via 32 torch worker *processes*
+(``datasets_genpose.py:558-566``).  On TPU hosts the natural shape is a
+thread pool: cv2 releases the GIL for decode/warp, numpy collate is cheap,
+and batches are handed to one fused jitted ``process_batch`` on device.
+A bounded prefetch queue keeps a couple of batches in flight so host IO
+overlaps device compute.
+
+Also reproduces the CAMERA:Real = 3:1 epoch resampling
+(``datasets_genpose.py:545-556``).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+
+def collate(samples: Sequence[Dict]) -> Dict[str, np.ndarray]:
+    """Stack a list of sample dicts into batched numpy arrays."""
+    out: Dict[str, np.ndarray] = {}
+    for key in samples[0]:
+        vals = [s[key] for s in samples]
+        if isinstance(vals[0], str):
+            out[key] = vals  # e.g. 'path'
+        else:
+            out[key] = np.stack([np.asarray(v) for v in vals], axis=0)
+    return out
+
+
+def camera_real_indices(subset_len: List[int], percentage_data: float,
+                        rng: np.random.Generator) -> np.ndarray:
+    """CAMERA:Real 3:1 resampled index list (ref ``datasets_genpose.py:545-556``)."""
+    camera_len, real_len = subset_len
+    real_indices = list(range(camera_len, camera_len + real_len))
+    camera_indices = list(range(camera_len))
+    n_repeat = max((camera_len // 3 - real_len) // max(real_len, 1), 0)
+    idx = camera_indices + real_indices * n_repeat
+    rng.shuffle(idx)
+    size = int(percentage_data * len(idx))
+    return np.asarray(idx[:size])
+
+
+class DataLoader:
+    """Minimal map-style loader: shuffling, threaded fetch, bounded prefetch."""
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        shuffle: bool = True,
+        num_workers: int = 8,
+        drop_last: bool = False,
+        indices: Optional[np.ndarray] = None,
+        prefetch: int = 2,
+        seed: int = 0,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.num_workers = max(1, num_workers)
+        self.drop_last = drop_last
+        self.base_indices = (
+            np.asarray(indices) if indices is not None
+            else np.arange(len(dataset))
+        )
+        self.prefetch = prefetch
+        self.rng = np.random.default_rng(seed)
+
+    def __len__(self):
+        n = len(self.base_indices)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def _batches(self) -> List[np.ndarray]:
+        idx = self.base_indices.copy()
+        if self.shuffle:
+            self.rng.shuffle(idx)
+        nb = len(self)
+        return [idx[i * self.batch_size:(i + 1) * self.batch_size]
+                for i in range(nb)]
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        batches = self._batches()
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        sentinel = object()
+
+        def producer():
+            with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+                for batch_idx in batches:
+                    samples = list(pool.map(self.dataset.__getitem__, batch_idx))
+                    q.put(collate(samples))
+            q.put(sentinel)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                break
+            yield item
+        t.join()
+
+
+def get_data_loaders_from_cfg(cfg, data_type=("train", "val", "test")):
+    """Build loaders per split (ref ``datasets_genpose.py:587-640``)."""
+    from genpose_tpu.data.nocs import NOCSDataset
+
+    loaders = {}
+    rng = np.random.default_rng(cfg.seed)
+
+    def build(source, mode, batch_size, percentage):
+        ds = NOCSDataset(
+            data_dir=cfg.data_path, source=source, mode=mode,
+            n_pts=cfg.num_points, img_size=cfg.img_size, per_obj=cfg.per_obj,
+            dzi_params=cfg.dzi, deform_2d_params=cfg.deform_2d, seed=cfg.seed,
+        )
+        indices = None
+        if source == "CAMERA+Real" and mode == "train":
+            indices = camera_real_indices(ds.subset_len, percentage, rng)
+        elif percentage < 1.0:
+            size = int(percentage * len(ds))
+            indices = rng.permutation(len(ds))[:size]
+        return DataLoader(
+            ds, batch_size=batch_size, shuffle=(mode == "train"),
+            num_workers=cfg.num_workers if mode == "train" else 1,
+            indices=indices, seed=cfg.seed,
+        )
+
+    if "train" in data_type:
+        loaders["train_loader"] = build(
+            cfg.train_source, "train", cfg.batch_size, cfg.percentage_data_for_train)
+    if "val" in data_type:
+        loaders["val_loader"] = build(
+            cfg.val_source, "test", cfg.mini_bs, cfg.percentage_data_for_val)
+    if "test" in data_type:
+        loaders["test_loader"] = build(
+            cfg.test_source, "test", cfg.mini_bs, cfg.percentage_data_for_test)
+    return loaders

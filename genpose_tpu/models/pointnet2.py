@@ -1,0 +1,208 @@
+"""PointNet++ MSG classifier encoder, TPU-native.
+
+Re-design of the reference ``networks/pts_encoder/pointnet2.py`` +
+``pointnet2_modules.py`` + the CUDA ops:
+
+- set-abstraction stage = Pallas FPS -> XLA gather -> ball query ->
+  group -> SharedMLP (feature-dim Dense stacks on the MXU) -> max-pool;
+- channels-LAST layout ``[B, N, C]`` throughout (vs the reference's
+  ``[B, C, N]``) so every MLP is a lane-aligned matmul;
+- the encoder config is passed explicitly (the reference reads a global CLI
+  parse at ``pointnet2.py:13`` — a coupling bug we do not reproduce).
+
+Configs transcribed from ``pointnet2.py:32-79``; the default released
+checkpoints use ``ClsMSG_CFG_Light`` (``pointnet2.py:57-66``) giving a
+1024-d global feature.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from genpose_tpu.models.layers import SharedMLP
+from genpose_tpu.ops.pointcloud import (
+    ball_query,
+    farthest_point_sample,
+    gather_points,
+    group_points,
+    three_nn,
+    three_interpolate,
+)
+
+# Transcribed stage configs (reference pointnet2.py:32-79).
+CLS_MSG_CONFIGS: Dict[str, Dict[str, Any]] = {
+    "light": {  # ClsMSG_CFG_Light — the default ("best before 29th April")
+        "NPOINTS": [512, 256, 128, None],
+        "RADIUS": [[0.02, 0.04], [0.04, 0.08], [0.08, 0.16], [None, None]],
+        "NSAMPLE": [[16, 32], [16, 32], [16, 32], [None, None]],
+        "MLPS": [
+            [[16, 16, 32], [32, 32, 64]],
+            [[64, 64, 128], [64, 96, 128]],
+            [[128, 196, 256], [128, 196, 256]],
+            [[256, 256, 512], [256, 384, 512]],
+        ],
+    },
+    "lighter": {  # ClsMSG_CFG_Lighter
+        "NPOINTS": [512, 256, 128, 64, None],
+        "RADIUS": [[0.01], [0.02], [0.04], [0.08], [None]],
+        "NSAMPLE": [[64], [32], [16], [8], [None]],
+        "MLPS": [
+            [[32, 32, 64]],
+            [[64, 64, 128]],
+            [[128, 196, 256]],
+            [[256, 256, 512]],
+            [[512, 512, 1024]],
+        ],
+    },
+    "dense": {  # ClsMSG_CFG_Dense
+        "NPOINTS": [512, 256, 128, None],
+        "RADIUS": [[0.02, 0.04], [0.04, 0.08], [0.08, 0.16], [None, None]],
+        "NSAMPLE": [[32, 64], [16, 32], [8, 16], [None, None]],
+        "MLPS": [
+            [[16, 16, 32], [32, 32, 64]],
+            [[64, 64, 128], [64, 96, 128]],
+            [[128, 196, 256], [128, 196, 256]],
+            [[256, 256, 512], [256, 384, 512]],
+        ],
+    },
+}
+
+
+class PointnetSAModuleMSG(nn.Module):
+    """Multi-scale-grouping set abstraction (ref ``pointnet2_modules.py:10-93``).
+
+    npoint=None means "group all" (final global stage, ref
+    ``pointnet2_utils.py:268-291``).
+    """
+
+    npoint: Optional[int]
+    radii: Sequence[Optional[float]]
+    nsamples: Sequence[Optional[int]]
+    mlps: Sequence[Sequence[int]]
+    use_xyz: bool = True
+    use_bn: bool = True
+    bn_axis_name: Optional[str] = None
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, xyz, features, train: bool = False):
+        """xyz: [B, N, 3]; features: [B, N, C] or None.
+
+        Returns (new_xyz [B, npoint, 3] or None, new_features [B, npoint, sum C_out]).
+        """
+        if self.npoint is not None:
+            idx = farthest_point_sample(xyz, self.npoint)
+            new_xyz = gather_points(xyz, idx)  # [B, npoint, 3]
+        else:
+            new_xyz = None
+
+        outs = []
+        for i, (radius, nsample, mlp) in enumerate(
+            zip(self.radii, self.nsamples, self.mlps)
+        ):
+            if self.npoint is not None:
+                gidx = ball_query(radius, nsample, xyz, new_xyz)
+                grouped_xyz = group_points(xyz, gidx) - new_xyz[:, :, None, :]
+                if features is not None:
+                    grouped_feats = group_points(features, gidx)
+                    g = (
+                        jnp.concatenate([grouped_xyz, grouped_feats], axis=-1)
+                        if self.use_xyz
+                        else grouped_feats
+                    )
+                else:
+                    g = grouped_xyz  # [B, npoint, nsample, 3]
+            else:
+                # GroupAll: one group containing every point.
+                grouped_xyz = xyz[:, None, :, :]  # [B, 1, N, 3]
+                if features is not None:
+                    g = (
+                        jnp.concatenate([grouped_xyz, features[:, None]], axis=-1)
+                        if self.use_xyz
+                        else features[:, None]
+                    )
+                else:
+                    g = grouped_xyz
+
+            h = SharedMLP(
+                tuple(mlp), use_bn=self.use_bn, bn_axis_name=self.bn_axis_name,
+                dtype=self.dtype, name=f"mlp_{i}",
+            )(g, train=train)
+            outs.append(jnp.max(h, axis=2))  # max-pool over the sample axis
+
+        return new_xyz, jnp.concatenate(outs, axis=-1)
+
+
+class PointnetFPModule(nn.Module):
+    """Feature propagation via 3-NN inverse-distance interpolation
+    (ref ``pointnet2_modules.py:117-158``).  Parity component for the
+    segmentation-style path; not used by the classification encoder."""
+
+    mlp: Sequence[int]
+    use_bn: bool = True
+    bn_axis_name: Optional[str] = None
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, unknown, known, unknown_feats, known_feats, train: bool = False):
+        if known is not None:
+            dist, idx = three_nn(unknown, known)
+            dist_recip = 1.0 / (dist + 1e-8)
+            norm = jnp.sum(dist_recip, axis=-1, keepdims=True)
+            weight = dist_recip / norm
+            interpolated = three_interpolate(known_feats, idx, weight)
+        else:
+            interpolated = jnp.broadcast_to(
+                known_feats, (known_feats.shape[0], unknown.shape[1], known_feats.shape[-1])
+            )
+        if unknown_feats is not None:
+            new_features = jnp.concatenate([interpolated, unknown_feats], axis=-1)
+        else:
+            new_features = interpolated
+        h = SharedMLP(tuple(self.mlp), use_bn=self.use_bn,
+                      bn_axis_name=self.bn_axis_name, dtype=self.dtype)(
+            new_features[:, :, None, :], train=train)
+        return h[:, :, 0, :]
+
+
+class Pointnet2ClsMSG(nn.Module):
+    """4-stage MSG classification encoder -> 1024-d global feature
+    (ref ``pointnet2.py:166-211``).
+
+    input_channels counts EXTRA per-point features beyond xyz (0 for GenPose).
+    """
+
+    input_channels: int = 0
+    config: str = "light"
+    use_bn: bool = True
+    bn_axis_name: Optional[str] = None
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, pointcloud, train: bool = False):
+        """pointcloud: [B, N, 3 + input_channels] -> [B, 1024]."""
+        params = CLS_MSG_CONFIGS[self.config]
+        xyz = pointcloud[..., :3]
+        features = pointcloud[..., 3:] if pointcloud.shape[-1] > 3 else None
+
+        for k in range(len(params["NPOINTS"])):
+            mlps: List[List[int]] = [list(m) for m in params["MLPS"][k]]
+            xyz_new, features = PointnetSAModuleMSG(
+                npoint=params["NPOINTS"][k],
+                radii=tuple(params["RADIUS"][k]),
+                nsamples=tuple(params["NSAMPLE"][k]),
+                mlps=tuple(tuple(m) for m in mlps),
+                use_xyz=True,
+                use_bn=self.use_bn,
+                bn_axis_name=self.bn_axis_name,
+                dtype=self.dtype,
+                name=f"sa_{k}",
+            )(xyz, features, train=train)
+            xyz = xyz_new
+
+        # final stage has npoint None -> [B, 1, C]; squeeze like the
+        # reference's ``l_features[-1].squeeze(-1)`` (pointnet2.py:211)
+        return features[:, 0, :]

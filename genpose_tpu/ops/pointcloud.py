@@ -61,9 +61,12 @@ def farthest_point_sample_ref(xyz: jnp.ndarray, npoint: int) -> jnp.ndarray:
 
 
 def farthest_point_sample(xyz: jnp.ndarray, npoint: int) -> jnp.ndarray:
-    """FPS: Pallas kernel on TPU, XLA scan elsewhere.  xyz [B, N, 3] -> [B, npoint]."""
-    platform = xyz.devices().pop().platform if hasattr(xyz, "devices") else None
-    if platform == "tpu" or jax.default_backend() == "tpu":
+    """FPS: Pallas kernel on TPU, XLA scan elsewhere.  xyz [B, N, 3] -> [B, npoint].
+
+    Dispatch is on the default backend (a trace-time constant), never on the
+    array itself — this function is always called under jit.
+    """
+    if jax.default_backend() == "tpu":
         return fps_pallas(xyz, npoint)
     return farthest_point_sample_ref(xyz, npoint)
 

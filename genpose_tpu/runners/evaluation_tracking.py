@@ -1,0 +1,212 @@
+"""Pose-tracking evaluation (re-design of ``runners/evaluation_tracking.py``).
+
+Frame-by-frame over the sorted Real test list: the previous frame's averaged
+pose (matched by model name) seeds the sampler as ``init_x`` with a reduced
+start time ``T0`` (0.15 in ``scripts/eval_tracking.sh``); unseen objects
+start from the noised GT (``add_noise_to_RT``).  Hypotheses are energy-sorted
+and the top-60% quaternion-averaged; per-class mean (deg, cm) errors and
+5deg5cm accuracy are reported (ref ``:221-245, 262-337``).
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+import sys
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from genpose_tpu.config import Config, get_config
+from genpose_tpu.eval.metrics import compute_RT_errors
+from genpose_tpu.ops.pose import (
+    average_quaternion_batch,
+    get_rot_matrix,
+    matrix_to_quat_wxyz,
+    quat_wxyz_to_matrix,
+)
+from genpose_tpu.runners.evaluation_single import (
+    REAL_K,
+    _instance_points,
+    _zero_center_batch,
+)
+from genpose_tpu.data.dataset_utils import load_depth
+from genpose_tpu.training.agent import PoseAgent
+from genpose_tpu.training.checkpoints import load_checkpoint
+from genpose_tpu.training.ranking import sort_poses_by_energy
+from genpose_tpu.utils.tracking import add_noise_to_RT, srt_to_pose9d
+
+
+def cal_average_sRT(sRT: np.ndarray, selected_num: int) -> np.ndarray:
+    """Quaternion-average the first ``selected_num`` hypotheses
+    (ref ``evaluation_tracking.py:60-77``)."""
+    bs = sRT.shape[0]
+    sel = jnp.asarray(sRT[:, :selected_num].reshape(bs * selected_num, 4, 4))
+    quat = matrix_to_quat_wxyz(sel[:, :3, :3]).reshape(bs, selected_num, 4)
+    trans = sel[:, :3, 3].reshape(bs, selected_num, 3)
+    avg_q = average_quaternion_batch(quat)
+    avg_t = jnp.mean(trans, axis=1)
+    out = np.tile(np.identity(4), (bs, 1, 1))
+    out[:, :3, :3] = np.asarray(quat_wxyz_to_matrix(avg_q))
+    out[:, :3, 3] = np.asarray(avg_t)
+    return out
+
+
+def extract_single_frame_data(cfg: Config, path: str, rng) -> Optional[dict]:
+    """mrcnn tracking pkl -> per-instance clouds (ref ``:110-186``)."""
+    img_path = os.path.join(cfg.data_path, path)
+    raw_depth = load_depth(img_path)
+    parts = img_path.split("/")
+    mrcnn_path = os.path.join(
+        cfg.result_dir, "mrcnn_results", cfg.test_source,
+        "results_{}_{}_{}.pkl".format(cfg.test_source.split("_")[-1],
+                                      parts[-2], parts[-1]))
+    with open(mrcnn_path, "rb") as f:
+        mrcnn_result = pickle.load(f)
+    num_insts = len(mrcnn_result["pred"]["class_ids"])
+
+    f_points, f_catId = [], []
+    for i in range(num_insts):
+        mask = np.logical_and(mrcnn_result["pred"]["masks"][:, :, i],
+                              raw_depth > 0)
+        pts = _instance_points(
+            raw_depth, mask, mrcnn_result["pred"]["rois"][i], REAL_K,
+            cfg.img_size, cfg.num_points, rng)
+        if pts is None:
+            continue
+        # normalize away any scale in the GT pose (ref :175)
+        gtp = mrcnn_result["gt"]["poses"][i]
+        gtp[:3, :3] = gtp[:3, :3] / np.linalg.norm(gtp[:3, 0])
+        f_points.append(pts)
+        f_catId.append(mrcnn_result["pred"]["class_ids"][i] - 1)
+
+    if not f_points:
+        return None
+    return {
+        "gt_handle_visibility": mrcnn_result["gt"]["handle_visibility"],
+        "gt_pose": mrcnn_result["gt"]["poses"],
+        "tracked": mrcnn_result["pred"].get("seen"),
+        "model_name": list(mrcnn_result["gt"]["model_list"]),
+        "pts": f_points,
+        "cat_id": f_catId,
+    }
+
+
+def aggregate_tracking_metrics(errors: Dict[str, list]) -> Dict[str, dict]:
+    """Per-class mean error + 5deg5cm accuracy (ref ``:221-245``)."""
+    cls: Dict[str, np.ndarray] = {}
+    for key, errs in errors.items():
+        cls_name = key.split("_")[0]
+        arr = np.array(errs)
+        cls[cls_name] = arr if cls_name not in cls else np.concatenate(
+            [cls[cls_name], arr], axis=0)
+    metrics: Dict[str, dict] = {}
+    for name, errs in cls.items():
+        metrics[name] = {
+            "mean_error": np.mean(errs, axis=0),
+            "5d5cm_acc": float(np.sum(
+                np.logical_and(errs[:, 0] <= 5, errs[:, 1] <= 5)) / errs.shape[0]),
+        }
+    n = len(metrics)
+    total = {"mean_error": 0.0, "5d5cm_acc": 0.0}
+    for name, m in metrics.items():
+        total["mean_error"] = total["mean_error"] + m["mean_error"] / n
+        total["5d5cm_acc"] += m["5d5cm_acc"] / n
+    metrics["all"] = total
+    return metrics
+
+
+def main_tracking(cfg: Config, tracking: bool = True, T0: float = 0.15):
+    """Sequential frame driver (ref ``evaluation_tracking.py:262-337``)."""
+    rng = np.random.default_rng(cfg.seed)
+    key = jax.random.PRNGKey(cfg.seed)
+
+    score_agent = PoseAgent(cfg, "score")
+    energy_agent = PoseAgent(cfg, "energy")
+    if cfg.score_model_dir:
+        score_agent.state = load_checkpoint(
+            os.path.join("results", "ckpts", cfg.score_model_dir),
+            score_agent.state, load_model_only=True)
+    if cfg.energy_model_dir:
+        energy_agent.state = load_checkpoint(
+            os.path.join("results", "ckpts", cfg.energy_model_dir),
+            energy_agent.state, load_model_only=True)
+
+    file_path = "Real/test_list.txt"
+    with open(os.path.join(cfg.data_path, file_path)) as f:
+        img_list = sorted(
+            os.path.join("Real", line.rstrip("\n")) for line in f)
+
+    errors: Dict[str, list] = {}
+    buffer = {"model_name": [], "pred_sRT": None}
+
+    for path in img_list:
+        frame = extract_single_frame_data(cfg, path, rng)
+        if frame is None:
+            continue
+        batch = _zero_center_batch(np.asarray(frame["pts"]))
+
+        init_pose = None
+        if tracking:
+            key, k_n = jax.random.split(key)
+            init_sRT = np.array(add_noise_to_RT(
+                k_n, jnp.asarray(np.asarray(frame["gt_pose"], np.float32))))
+            for i, name in enumerate(frame["model_name"]):
+                if name in buffer["model_name"]:
+                    init_sRT[i] = buffer["pred_sRT"][
+                        buffer["model_name"].index(name)]
+            init_pose = srt_to_pose9d(jnp.asarray(init_sRT))
+            init_pose = init_pose.at[:, -3:].add(-batch["pts_center"])
+
+        key, k_s = jax.random.split(key)
+        pred_pose = score_agent.sample(
+            batch, k_s, repeat_num=cfg.eval_repeat_num, sampler="ode",
+            num_steps=cfg.sampling_steps, T0=T0, init_x=init_pose)
+        energy = energy_agent.get_energy(batch, pred_pose, T=1e-5)
+        sorted_pose, _ = sort_poses_by_energy(pred_pose, energy)
+
+        sorted_pose = np.asarray(sorted_pose)
+        N, K, _ = sorted_pose.shape
+        flat = jnp.asarray(sorted_pose.reshape(N * K, -1))
+        R = np.asarray(get_rot_matrix(flat[:, :-3], cfg.pose_mode))
+        rts = np.tile(np.identity(4), (N * K, 1, 1))
+        rts[:, :3, :3] = R
+        rts[:, :3, 3] = np.asarray(flat[:, -3:])
+        rts = rts.reshape(N, K, 4, 4)
+
+        avg_sRT = cal_average_sRT(rts, max(1, int(0.6 * cfg.eval_repeat_num)))
+        buffer["model_name"] = frame["model_name"]
+        buffer["pred_sRT"] = avg_sRT
+
+        for i in range(avg_sRT.shape[0]):
+            rt_err = compute_RT_errors(
+                avg_sRT[i], frame["gt_pose"][i], int(frame["cat_id"][i]),
+                frame["gt_handle_visibility"][i], cfg.synset_names)
+            errors.setdefault(frame["model_name"][i], []).append(
+                np.asarray(rt_err).tolist())
+
+    metrics = aggregate_tracking_metrics(errors)
+    save_dir = os.path.join(
+        cfg.result_dir, "evaluation_results",
+        f"{cfg.test_source}_repeat_{cfg.eval_repeat_num}", "results",
+        cfg.pooling_mode, cfg.ranker)
+    os.makedirs(save_dir, exist_ok=True)
+    with open(os.path.join(save_dir, "eval_logs.txt"), "w") as fw:
+        for key_name, m in metrics.items():
+            fw.write(key_name + "\n")
+            print(key_name)
+            for sub, v in m.items():
+                fw.write(f"{sub}: {v}\n")
+                print(f"{sub}: {v}")
+    return metrics
+
+
+def main(argv=None):
+    cfg = get_config(argv if argv is not None else sys.argv[1:])
+    main_tracking(cfg, tracking=True, T0=cfg.T0)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,308 @@
+"""Training / inference CLI (re-design of reference ``runners/trainer.py``).
+
+Usage:
+    python -m genpose_tpu.runners.trainer --agent_type score --data_path ... \
+        --is_train true
+    python -m genpose_tpu.runners.trainer --agent_type energy_with_ranking \
+        --pretrained_score_model_path <ckpt> --data_path ... --is_train true
+    python -m genpose_tpu.runners.trainer --eval true --model_name <epoch> ...
+
+Structure mirrors the reference: ``train_score`` (``trainer.py:266-322``),
+``train_energy`` with online candidate generation (``trainer.py:325-388``),
+``inference`` (repeat test set, dump metrics.json + results.pkl;
+``trainer.py:163-231``), ``evaluation`` (quaternion-average + errors;
+``trainer.py:234-263``).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pickle
+import sys
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from genpose_tpu.config import Config, get_config
+from genpose_tpu.data.loader import get_data_loaders_from_cfg
+from genpose_tpu.data.process import process_batch
+from genpose_tpu.eval.metrics import get_metrics
+from genpose_tpu.ops.pose import average_quaternion_batch
+from genpose_tpu.parallel.mesh import make_mesh, shard_batch
+from genpose_tpu.training.agent import PoseAgent
+from genpose_tpu.training.checkpoints import (
+    latest_checkpoint,
+    load_checkpoint,
+    load_clock,
+    save_checkpoint,
+)
+from genpose_tpu.utils.logging import MetricsLogger, TrainClock
+
+
+def _results_dirs(cfg: Config):
+    ckpt_path = os.path.join("results", "ckpts", cfg.log_dir)
+    log_path = os.path.join("results", "logs", cfg.log_dir)
+    return ckpt_path, log_path
+
+
+def _maybe_mesh(cfg: Config):
+    n = cfg.num_devices or len(jax.devices())
+    return make_mesh(n) if n > 1 else None
+
+
+def train_score(cfg: Config, train_loader, val_loader, agent: PoseAgent,
+                mesh=None):
+    """Score (or ranking-free energy) training loop (ref ``trainer.py:266-322``)."""
+    ckpt_dir, log_dir = _results_dirs(cfg)
+    logger = MetricsLogger(log_dir)
+    clock = agent.clock = getattr(agent, "clock", TrainClock())
+    key = jax.random.PRNGKey(cfg.seed)
+
+    for epoch in range(clock.epoch, cfg.n_epochs + 1):
+        t_epoch = time.time()
+        for i, raw in enumerate(train_loader):
+            key, k_aug, k_loss, k_ema = jax.random.split(key, 4)
+            batch = process_batch(raw, cfg.pose_mode, k_aug, cfg.pts_aug)
+            batch = shard_batch(mesh, batch)
+            losses = agent.train_step(batch, k_loss)
+            clock.tick()
+            if clock.step % 50 == 0:
+                logger.scalars({k: float(v) for k, v in losses.items()},
+                               clock.step, prefix="train/")
+            if cfg.ema_rate > 0 and clock.step % 5 == 0:
+                logger.scalar("train/ema", float(agent.ema_loss(batch, k_ema)),
+                              clock.step)
+        logger.scalar("epoch_time_s", time.time() - t_epoch, clock.epoch)
+        clock.tock()
+
+        if clock.epoch % cfg.eval_freq == 0:
+            for loader, mode in ((train_loader, "train"), (val_loader, "val")):
+                try:
+                    raw = next(iter(loader))
+                except StopIteration:
+                    continue
+                key, k_s = jax.random.split(key)
+                batch = process_batch(raw, cfg.pose_mode,
+                                      mini_batch_size=cfg.mini_bs)
+                pred = agent.sample(batch, k_s, repeat_num=1,
+                                    num_steps=cfg.sampling_steps)
+                rot_err, trans_err = get_metrics(
+                    np.asarray(pred[:, 0]), np.asarray(batch["gt_pose"]),
+                    np.asarray(batch["id"]), cfg.synset_names,
+                    np.asarray(batch["handle_visibility"]), cfg.pose_mode,
+                    cfg.o2c_pose,
+                )
+                logger.scalar(f"{mode}/ode_mean_rot_error", rot_err.mean(),
+                              clock.epoch)
+                logger.scalar(f"{mode}/ode_mean_trans_error", trans_err.mean(),
+                              clock.epoch)
+            save_checkpoint(ckpt_dir, agent.state, clock.epoch,
+                            clock.make_checkpoint())
+    logger.close()
+
+
+def train_energy(cfg: Config, train_loader, val_loader, energy_agent: PoseAgent,
+                 score_agent: Optional[PoseAgent] = None, ranking: bool = False,
+                 mesh=None):
+    """Energy training (ref ``trainer.py:325-388``).  With ranking, a frozen
+    score agent generates K=5 candidates per batch online."""
+    if not ranking:
+        return train_score(cfg, train_loader, val_loader, energy_agent, mesh)
+
+    ckpt_dir, log_dir = _results_dirs(cfg)
+    logger = MetricsLogger(log_dir)
+    clock = energy_agent.clock = getattr(energy_agent, "clock", TrainClock())
+    key = jax.random.PRNGKey(cfg.seed + 1)
+
+    for epoch in range(clock.epoch, cfg.n_epochs + 1):
+        for raw in train_loader:
+            key, k_aug, k_cand, k_loss = jax.random.split(key, 4)
+            batch = process_batch(raw, cfg.pose_mode, k_aug, cfg.pts_aug)
+            batch = shard_batch(mesh, batch)
+            pose_samples = score_agent.sample(
+                batch, k_cand, repeat_num=5, num_steps=cfg.sampling_steps)
+            losses = energy_agent.train_step_energy(batch, pose_samples, k_loss)
+            clock.tick()
+            if clock.step % 50 == 0:
+                logger.scalars({k: float(v) for k, v in losses.items()},
+                               clock.step, prefix="train/")
+        clock.tock()
+        if clock.epoch % cfg.eval_freq == 0:
+            save_checkpoint(ckpt_dir, energy_agent.state, clock.epoch,
+                            clock.make_checkpoint())
+    logger.close()
+
+
+def inference(cfg: Config, test_loader, agent: PoseAgent):
+    """Repeat the test set ``repeat_num`` times, dump metrics + results
+    (ref ``trainer.py:163-231``)."""
+    key = jax.random.PRNGKey(cfg.seed + 2)
+    metrics = {}
+    results = {}
+    for i in range(cfg.repeat_num):
+        rot_errs, trans_errs = [], []
+        all_pred, all_gt, all_id, all_hv = [], [], [], []
+        for index, raw in enumerate(test_loader):
+            if index > cfg.max_eval_num:
+                break
+            key, k_s = jax.random.split(key)
+            batch = process_batch(raw, cfg.pose_mode)
+            pred = agent.sample(batch, k_s, repeat_num=1,
+                                num_steps=cfg.sampling_steps)[:, 0]
+            rot_err, trans_err = get_metrics(
+                np.asarray(pred), np.asarray(batch["gt_pose"]),
+                np.asarray(batch["id"]), cfg.synset_names,
+                np.asarray(batch["handle_visibility"]), cfg.pose_mode,
+                cfg.o2c_pose,
+            )
+            rot_errs.append(rot_err)
+            trans_errs.append(trans_err)
+            all_pred.append(np.asarray(pred))
+            all_gt.append(np.asarray(batch["gt_pose"]))
+            all_id.append(np.asarray(batch["id"]))
+            all_hv.append(np.asarray(batch["handle_visibility"]))
+
+        rot_errs = np.concatenate(rot_errs)
+        trans_errs = np.concatenate(trans_errs)
+        print(f"[{i+1}/{cfg.repeat_num}] MEAN ROT {rot_errs.mean():.2f} deg  "
+              f"MEAN TRANS {trans_errs.mean():.2f} cm  "
+              f"MEDIAN ROT {np.median(rot_errs):.2f}")
+        metrics[f"index_{i}"] = np.stack([rot_errs, trans_errs], axis=1).tolist()
+        pred_cat = np.concatenate(all_pred)
+        if i == 0:
+            results = {
+                "pred_pose": pred_cat[:, None],
+                "gt_pose": np.concatenate(all_gt),
+                "cls_id": np.concatenate(all_id),
+                "handle_visibility": np.concatenate(all_hv),
+            }
+        else:
+            results["pred_pose"] = np.concatenate(
+                [results["pred_pose"], pred_cat[:, None]], axis=1)
+
+    save_path = os.path.join(
+        "results", "inference_results", cfg.log_dir,
+        f"{cfg.test_source}_ode_{cfg.sampling_steps}")
+    os.makedirs(save_path, exist_ok=True)
+    with open(os.path.join(save_path, "metrics.json"), "w") as f:
+        json.dump(metrics, f, indent=1)
+    results_path = os.path.join(save_path, "results.pkl")
+    with open(results_path, "wb") as f:
+        pickle.dump(results, f)
+    return results_path
+
+
+def evaluation(cfg: Config):
+    """Aggregate a results.pkl via quaternion averaging (ref ``trainer.py:234-263``).
+
+    The stored pred_pose is in cfg.pose_mode; hypotheses are converted to
+    wxyz quats, averaged, and compared in quat space.
+    """
+    from genpose_tpu.ops.pose import get_rot_matrix, matrix_to_quat_wxyz
+
+    with open(cfg.results_path, "rb") as f:
+        results = pickle.load(f)
+
+    pred = jnp.asarray(results["pred_pose"])  # [N, K, pose_dim]
+    N, K, _ = pred.shape
+    rot = get_rot_matrix(pred.reshape(N * K, -1)[:, :-3], cfg.pose_mode)
+    quat = matrix_to_quat_wxyz(rot).reshape(N, K, 4)
+    avg_q = average_quaternion_batch(quat)
+    avg_t = jnp.mean(pred[..., -3:], axis=1)
+    avg_pose = jnp.concatenate([avg_q, avg_t], axis=-1)
+
+    gt = jnp.asarray(results["gt_pose"])
+    gt_rot = get_rot_matrix(gt[:, :-3], cfg.pose_mode)
+    gt_q = matrix_to_quat_wxyz(gt_rot)
+    gt_pose_q = jnp.concatenate([gt_q, gt[:, -3:]], axis=-1)
+
+    rot_error, trans_error = get_metrics(
+        np.asarray(avg_pose), np.asarray(gt_pose_q),
+        np.asarray(results["cls_id"]), cfg.synset_names,
+        np.asarray(results["handle_visibility"]), "quat_wxyz", cfg.o2c_pose,
+    )
+    error = np.stack([rot_error, trans_error], axis=1)
+    out = cfg.results_path.replace("results.pkl", "average_results.pkl")
+    with open(out, "wb") as f:
+        pickle.dump(error, f)
+    print("Mean Rotation Error: ", rot_error.mean())
+    print("Median Rotation Error: ", np.median(rot_error))
+    print("Mean Translation Error: ", trans_error.mean())
+    print("Median Translation Error: ", np.median(trans_error))
+    return error
+
+
+def _load_pretrained(agent: PoseAgent, path: str, load_model_only=True):
+    agent.state = load_checkpoint(path, agent.state, load_model_only)
+
+
+def main(argv=None):
+    cfg = get_config(argv if argv is not None else sys.argv[1:])
+    if cfg.results_path:
+        print("Start evaluate ...")
+        evaluation(cfg)
+        print("Evaluate finished!")
+        return
+
+    mesh = _maybe_mesh(cfg)
+    if not (cfg.eval or cfg.pred):
+        loaders = get_data_loaders_from_cfg(cfg, ["train", "val", "test"])
+        train_loader, val_loader, test_loader = (
+            loaders["train_loader"], loaders["val_loader"], loaders["test_loader"])
+        steps_per_epoch = max(1, len(train_loader))
+    else:
+        test_loader = get_data_loaders_from_cfg(cfg, ["test"])["test_loader"]
+        steps_per_epoch = 1000
+
+    if cfg.agent_type == "score":
+        tr_agent = PoseAgent(cfg, "score", steps_per_epoch, mesh)
+        score_agent = tr_agent
+    elif cfg.agent_type == "energy":
+        tr_agent = PoseAgent(cfg, "energy", steps_per_epoch, mesh)
+        if cfg.pretrained_score_model_path:
+            _load_pretrained(tr_agent, cfg.pretrained_score_model_path)
+    elif cfg.agent_type == "energy_with_ranking":
+        score_agent = PoseAgent(cfg, "score", steps_per_epoch, mesh)
+        tr_agent = PoseAgent(cfg, "energy", steps_per_epoch, mesh)
+        assert cfg.pretrained_score_model_path, \
+            "energy_with_ranking requires --pretrained_score_model_path"
+        _load_pretrained(score_agent, cfg.pretrained_score_model_path)
+        if cfg.pretrained_energy_model_path:
+            _load_pretrained(tr_agent, cfg.pretrained_energy_model_path)
+    else:
+        raise NotImplementedError(cfg.agent_type)
+
+    # resume
+    ckpt_dir, _ = _results_dirs(cfg)
+    if cfg.use_pretrain:
+        path = latest_checkpoint(ckpt_dir)
+        if path:
+            tr_agent.state = load_checkpoint(path, tr_agent.state, False)
+            clock = load_clock(ckpt_dir)
+            tr_agent.clock = TrainClock()
+            if clock:
+                tr_agent.clock.restore_checkpoint(clock)
+
+    if cfg.eval:
+        if cfg.model_name and cfg.pretrained_score_model_path:
+            _load_pretrained(tr_agent, cfg.pretrained_score_model_path)
+        print("Start inference ...")
+        inference(cfg, test_loader, tr_agent)
+        print("Inference finished")
+        return
+
+    if cfg.agent_type == "score":
+        train_score(cfg, train_loader, val_loader, tr_agent, mesh)
+    elif cfg.agent_type == "energy":
+        train_energy(cfg, train_loader, val_loader, tr_agent, None, False, mesh)
+    else:
+        train_energy(cfg, train_loader, val_loader, tr_agent, score_agent, True,
+                     mesh)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,388 @@
+"""PoseAgent: the training / inference orchestrator.
+
+Functional re-design of reference ``networks/posenet_agent.py:46-623``.
+Every hot path is ONE jitted function:
+
+- :meth:`train_step` (score): encoder once per batch + ``repeat_num``
+  vectorized DSM draws + adam/EMA update — the reference runs the x20 loss
+  loop sequentially (``posenet_agent.py:185-195``);
+- :meth:`train_step_energy`: DSM (score = grad energy) + ranking loss whose
+  GT pose errors are computed ON DEVICE (``pose_errors_jax``) instead of the
+  reference's numpy round-trip (``posenet_agent.py:240-256``);
+- :meth:`sample`: K hypotheses folded into the batch axis
+  (bs->bs*K, ref ``posenet_agent.py:426-438``) and integrated by the
+  ``lax.scan`` ODE/PC sampler — zero host round-trips;
+- :meth:`get_energy`: candidate energies at t~U{1e-5..9e-5} (train) or
+  fixed T (test) with centers subtracted (ref ``posenet_agent.py:471-527``).
+
+Under a mesh, batch tensors are sharded over ``dp`` and params replicated;
+jit inserts the gradient psum over ICI (see ``parallel/mesh.py``).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from genpose_tpu.config import Config
+from genpose_tpu.diffusion.losses import dsm_loss_repeated
+from genpose_tpu.diffusion.samplers import ode_likelihood, ode_sampler, pc_sampler
+from genpose_tpu.diffusion.sde import init_sde
+from genpose_tpu.eval.metrics import pose_errors_jax
+from genpose_tpu.models.posenet import GFObjectPose
+from genpose_tpu.ops.pose import (
+    average_quaternion_batch,
+    get_pose_dim,
+    get_rot_matrix,
+    matrix_to_quat_wxyz,
+)
+from genpose_tpu.training.ranking import ranking_loss, sort_results
+from genpose_tpu.training.state import TrainState, create_train_state
+
+
+class PoseAgent:
+    """Builds the model + state and exposes jitted step functions."""
+
+    def __init__(
+        self,
+        cfg: Config,
+        posenet_mode: Optional[str] = None,
+        steps_per_epoch: int = 1000,
+        mesh=None,
+        seed: Optional[int] = None,
+    ):
+        self.cfg = cfg
+        self.mode = posenet_mode or cfg.posenet_mode
+        self.sde = init_sde(cfg.sde_mode)
+        self.mesh = mesh
+        self.pose_dim = get_pose_dim(cfg.pose_mode)
+
+        dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+        self.model = GFObjectPose(
+            marginal_prob_fn=self.sde.marginal_prob,
+            pose_mode=cfg.pose_mode,
+            regression_head=cfg.regression_head,
+            posenet_mode=self.mode,
+            pts_encoder=cfg.pts_encoder,
+            pointnet2_params=cfg.pointnet2_params,
+            num_points=cfg.num_points,
+            energy_mode=cfg.energy_mode,
+            s_theta_mode=cfg.s_theta_mode,
+            norm_energy=cfg.norm_energy,
+            dtype=dtype,
+        )
+
+        key = jax.random.PRNGKey(cfg.seed if seed is None else seed)
+        dummy_pts = jnp.zeros((2, cfg.num_points, 3))
+        dummy_pose = jnp.zeros((2, self.pose_dim))
+        dummy_t = jnp.full((2, 1), 0.5)
+        variables = self.model.init(key, dummy_pts, dummy_pose, dummy_t, train=False)
+
+        self.state = create_train_state(
+            variables,
+            base_lr=cfg.lr,
+            warmup_steps=cfg.warmup,
+            decay_per_epoch=cfg.lr_decay,
+            steps_per_epoch=steps_per_epoch,
+            floor_lr=cfg.lr_floor,
+            grad_clip=cfg.grad_clip,
+            ema_rate=cfg.ema_rate,
+            optimizer=cfg.optimizer,
+        )
+        if mesh is not None:
+            from genpose_tpu.parallel.mesh import replicate
+
+            self.state = replicate(mesh, self.state)
+
+        # jitted entry points (donate state for in-place update on device)
+        self._train_step_score = jax.jit(self._train_step_score_impl, donate_argnums=(0,))
+        self._train_step_energy = jax.jit(self._train_step_energy_impl, donate_argnums=(0,))
+        self._ema_loss = jax.jit(self._ema_loss_impl)
+        self._sample = jax.jit(
+            self._sample_impl,
+            static_argnames=("repeat_num", "sampler", "num_steps", "use_ema",
+                            "return_process"),
+        )
+        self._get_energy = jax.jit(
+            self._get_energy_impl, static_argnames=("train", "use_ema")
+        )
+        self._likelihood = jax.jit(
+            self._likelihood_impl, static_argnames=("num_steps",)
+        )
+
+    # ------------------------------------------------------------------
+    # internals
+    # ------------------------------------------------------------------
+
+    def _encode_and_score_fn(self, params, batch_stats, pts, train: bool):
+        """Encode pts (once) and build score_fn over the cached feature."""
+        variables = {"params": params, "batch_stats": batch_stats}
+        if train:
+            feat, mutated = self.model.apply(
+                variables, pts, train=True, method=GFObjectPose.encode_pts,
+                mutable=["batch_stats"],
+            )
+            new_stats = mutated["batch_stats"]
+        else:
+            feat = self.model.apply(
+                variables, pts, train=False, method=GFObjectPose.encode_pts
+            )
+            new_stats = batch_stats
+        return feat, new_stats
+
+    def _head_score_fn(self, params, batch_stats, feat):
+        variables = {"params": params, "batch_stats": batch_stats}
+        if self.mode == "score":
+
+            def score_fn(pose, t):
+                return self.model.apply(variables, feat, pose, t,
+                                        method=GFObjectPose.score)
+        else:
+
+            def score_fn(pose, t):
+                def e_sum(p):
+                    e = self.model.apply(variables, feat, p, t, decoupled_rt=False,
+                                         method=GFObjectPose.energy)
+                    return jnp.sum(e)
+
+                return jax.grad(e_sum)(pose)
+
+        return score_fn
+
+    def _head_energy_fn(self, params, batch_stats, feat):
+        variables = {"params": params, "batch_stats": batch_stats}
+
+        def energy_fn(pose, t):
+            return self.model.apply(variables, feat, pose, t, decoupled_rt=True,
+                                    method=GFObjectPose.energy)
+
+        return energy_fn
+
+    # ------------------------------------------------------------------
+    # score training
+    # ------------------------------------------------------------------
+
+    def _train_step_score_impl(self, state: TrainState, batch: Dict[str, Any],
+                               key: jax.Array):
+        """One optimization step of denoising score matching."""
+
+        def loss_fn(params):
+            feat, new_stats = self._encode_and_score_fn(
+                params, state.batch_stats, batch["zero_mean_pts"], train=True
+            )
+            score_fn = self._head_score_fn(params, new_stats, feat)
+            loss = dsm_loss_repeated(
+                score_fn, key, batch["zero_mean_gt_pose"], self.sde,
+                self.cfg.repeat_num,
+            )
+            return loss, new_stats
+
+        (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        state = state.apply_gradients(grads, new_batch_stats=new_stats)
+        return state, {"gf": loss}
+
+    def _ema_loss_impl(self, state: TrainState, batch, key):
+        """DSM loss under EMA weights, for monitoring (ref
+        ``posenet_agent.py:200-224``)."""
+        feat, _ = self._encode_and_score_fn(
+            state.ema.shadow, state.batch_stats, batch["zero_mean_pts"], train=False
+        )
+        score_fn = self._head_score_fn(state.ema.shadow, state.batch_stats, feat)
+        return dsm_loss_repeated(
+            score_fn, key, batch["zero_mean_gt_pose"], self.sde, self.cfg.repeat_num
+        )
+
+    def train_step(self, batch, key) -> Dict[str, jnp.ndarray]:
+        self.state, losses = self._train_step_score(self.state, batch, key)
+        return losses
+
+    def ema_loss(self, batch, key) -> jnp.ndarray:
+        return self._ema_loss(self.state, batch, key)
+
+    # ------------------------------------------------------------------
+    # energy training (score DSM + ranking; ref posenet_agent.py:262-283)
+    # ------------------------------------------------------------------
+
+    def _train_step_energy_impl(self, state: TrainState, batch, pose_samples,
+                                key: jax.Array):
+        """pose_samples: [bs, K, pose_dim] candidates from the (frozen) score
+        model, translations in the ORIGINAL (un-centered) frame."""
+        k_dsm, k_t = jax.random.split(key)
+        bs, K, _ = pose_samples.shape
+
+        # GT error metrics for ranking (on device; ref uses numpy get_metrics)
+        flat = pose_samples.reshape(bs * K, -1)
+        gt_rep = jnp.repeat(batch["gt_pose"], K, axis=0)
+        ids_rep = jnp.repeat(batch["id"].reshape(-1), K, axis=0)
+        hv_rep = jnp.repeat(batch["handle_visibility"].reshape(-1), K, axis=0)
+        rot_err, trans_err = pose_errors_jax(
+            flat, gt_rep, ids_rep, hv_rep, self.cfg.synset_names,
+            self.cfg.pose_mode, self.cfg.o2c_pose,
+        )
+        metrics = jnp.stack([rot_err, trans_err], axis=-1).reshape(bs, K, 2)
+
+        # candidate poses in the zero-centered frame for the energy net
+        centered = pose_samples.at[..., -3:].add(-batch["pts_center"][:, None, :])
+        t_int = jax.random.randint(k_t, (bs, 1), 1, 10).astype(jnp.float32)
+        t_samples = jnp.repeat(t_int / 1e5, K, axis=1).reshape(bs * K, 1)
+
+        def loss_fn(params):
+            feat, new_stats = self._encode_and_score_fn(
+                params, state.batch_stats, batch["zero_mean_pts"], train=True
+            )
+            score_fn = self._head_score_fn(params, new_stats, feat)
+            dsm = dsm_loss_repeated(
+                score_fn, k_dsm, batch["zero_mean_gt_pose"], self.sde,
+                self.cfg.repeat_num,
+            )
+
+            feat_rep = jnp.repeat(feat, K, axis=0)
+            energy_fn = self._head_energy_fn(params, new_stats, feat_rep)
+            energy = energy_fn(centered.reshape(bs * K, -1), t_samples)
+            energy = energy.reshape(bs, K, 2)
+            sorted_energy = sort_results(energy, metrics)
+            rank = ranking_loss(sorted_energy)
+            return dsm + rank, (new_stats, dsm, rank)
+
+        (loss, (new_stats, dsm, rank)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        state = state.apply_gradients(grads, new_batch_stats=new_stats)
+        return state, {"gf": dsm, "ranking": rank}
+
+    def train_step_energy(self, batch, pose_samples, key):
+        self.state, losses = self._train_step_energy(
+            self.state, batch, pose_samples, key
+        )
+        return losses
+
+    # ------------------------------------------------------------------
+    # sampling (K hypotheses; ref posenet_agent.py:416-468)
+    # ------------------------------------------------------------------
+
+    def _sample_impl(
+        self,
+        state: TrainState,
+        batch,
+        key: jax.Array,
+        repeat_num: int = 1,
+        sampler: str = "ode",
+        num_steps: int = 500,
+        T0: Optional[float] = None,
+        init_x: Optional[jnp.ndarray] = None,
+        use_ema: bool = True,
+        return_process: bool = False,
+    ):
+        """Returns pred_pose [bs, repeat_num, pose_dim] (original frame)."""
+        params = state.ema.shadow if use_ema else state.params
+        pts = batch["zero_mean_pts"]
+        bs = pts.shape[0]
+        feat, _ = self._encode_and_score_fn(params, state.batch_stats, pts,
+                                            train=False)
+        # fold K into the batch axis: [bs*K, ...]
+        feat_rep = jnp.repeat(feat, repeat_num, axis=0)
+        center_rep = jnp.repeat(batch["pts_center"], repeat_num, axis=0)
+        init_rep = None
+        if init_x is not None:
+            init_rep = jnp.repeat(init_x, repeat_num, axis=0)
+
+        score_fn = self._head_score_fn(params, state.batch_stats, feat_rep)
+        if sampler == "ode":
+            process, res = ode_sampler(
+                score_fn, key, bs * repeat_num, self.sde, self.cfg.pose_mode,
+                num_steps=num_steps, T0=T0, init_x=init_rep,
+                pts_center=center_rep, return_process=return_process,
+            )
+        elif sampler == "pc":
+            process, res = pc_sampler(
+                score_fn, key, bs * repeat_num, self.sde, self.cfg.pose_mode,
+                num_steps=num_steps, init_x=init_rep, pts_center=center_rep,
+                return_process=return_process,
+            )
+        else:
+            raise NotImplementedError(sampler)
+
+        res = res.reshape(bs, repeat_num, -1)
+        if return_process:
+            process = process.reshape(bs, repeat_num, process.shape[1], -1)
+            return process, res
+        return res
+
+    def sample(self, batch, key, repeat_num=1, sampler=None, num_steps=None,
+               T0=None, init_x=None, use_ema=True, return_process=False):
+        sampler = sampler or (self.cfg.sampler_mode[0] if self.cfg.sampler_mode
+                              else "ode")
+        num_steps = num_steps or self.cfg.sampling_steps
+        return self._sample(
+            self.state, batch, key, repeat_num=repeat_num, sampler=sampler,
+            num_steps=num_steps, T0=T0, init_x=init_x, use_ema=use_ema,
+            return_process=return_process,
+        )
+
+    # ------------------------------------------------------------------
+    # energies of candidate poses (ref posenet_agent.py:471-527)
+    # ------------------------------------------------------------------
+
+    def _get_energy_impl(self, state: TrainState, batch, pose_samples,
+                         t_input, train: bool = False, use_ema: bool = False):
+        params = state.ema.shadow if use_ema else state.params
+        bs, K, _ = pose_samples.shape
+        feat, _ = self._encode_and_score_fn(
+            params, state.batch_stats, batch["zero_mean_pts"], train=False
+        )
+        feat_rep = jnp.repeat(feat, K, axis=0)
+        centered = pose_samples.at[..., -3:].add(-batch["pts_center"][:, None, :])
+        energy_fn = self._head_energy_fn(params, state.batch_stats, feat_rep)
+        e = energy_fn(centered.reshape(bs * K, -1), t_input.reshape(bs * K, 1))
+        return e.reshape(bs, K, -1)
+
+    def get_energy(self, batch, pose_samples, T: Optional[float] = None,
+                   key: Optional[jax.Array] = None, use_ema: bool = False):
+        bs, K, _ = pose_samples.shape
+        if T is not None:
+            t_input = jnp.full((bs, K), T)
+        else:
+            assert key is not None
+            t_int = jax.random.randint(key, (bs, 1), 1, 10).astype(jnp.float32)
+            t_input = jnp.repeat(t_int / 1e5, K, axis=1)
+        return self._get_energy(self.state, batch, pose_samples, t_input,
+                                use_ema=use_ema)
+
+    # ------------------------------------------------------------------
+    # likelihood (ref posenet.py:133-147)
+    # ------------------------------------------------------------------
+
+    def _likelihood_impl(self, state: TrainState, batch, poses, key,
+                         num_steps: int = 500):
+        feat, _ = self._encode_and_score_fn(
+            state.ema.shadow, state.batch_stats, batch["zero_mean_pts"],
+            train=False,
+        )
+        score_fn = self._head_score_fn(state.ema.shadow, state.batch_stats, feat)
+        return ode_likelihood(score_fn, key, poses, self.sde,
+                              self.cfg.pose_mode, num_steps=num_steps)
+
+    def likelihood(self, batch, poses, key, num_steps=500):
+        return self._likelihood(self.state, batch, poses, key,
+                                num_steps=num_steps)
+
+    # ------------------------------------------------------------------
+    # hypothesis aggregation (ref posenet_agent.py:450-463)
+    # ------------------------------------------------------------------
+
+    def aggregate_hypotheses(self, pred_pose: jnp.ndarray):
+        """Quaternion-average K hypotheses -> [bs, 7] (wxyz + t)."""
+        bs, K, _ = pred_pose.shape
+        flat = pred_pose.reshape(bs * K, -1)
+        rot = get_rot_matrix(flat[:, :-3], self.cfg.pose_mode)
+        quat = matrix_to_quat_wxyz(rot).reshape(bs, K, 4)
+        avg_q = average_quaternion_batch(quat)
+        avg_t = jnp.mean(pred_pose[..., -3:], axis=1)
+        pred_q = jnp.concatenate([quat, pred_pose[..., -3:]], axis=-1)
+        avg = jnp.concatenate([avg_q, avg_t], axis=-1)
+        return pred_q, avg

@@ -1,0 +1,84 @@
+"""Observability: scalar logging (TensorBoard + JSONL) and the train clock.
+
+Replaces the reference's tensorboardX plumbing spread through
+``posenet_agent.py:553-598`` and the ``TrainClock``
+(``utils/genpose_utils.py:70-96``).  Every scalar also lands in a JSONL file
+so runs are greppable without TensorBoard.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Dict, Optional
+
+
+class TrainClock:
+    """Epoch/minibatch/step counter (ref ``genpose_utils.py:70-96``)."""
+
+    def __init__(self):
+        self.epoch = 1
+        self.minibatch = 0
+        self.step = 0
+
+    def tick(self):
+        self.minibatch += 1
+        self.step += 1
+
+    def tock(self):
+        self.epoch += 1
+        self.minibatch = 0
+
+    def make_checkpoint(self):
+        return {"epoch": self.epoch, "minibatch": self.minibatch, "step": self.step}
+
+    def restore_checkpoint(self, clock_dict):
+        self.epoch = clock_dict["epoch"]
+        self.minibatch = clock_dict["minibatch"]
+        self.step = clock_dict["step"]
+
+
+class MetricsLogger:
+    """Scalars to TensorBoard (if available) + always JSONL."""
+
+    def __init__(self, log_dir: str, use_tensorboard: bool = True):
+        os.makedirs(log_dir, exist_ok=True)
+        self.log_dir = log_dir
+        self.jsonl_path = os.path.join(log_dir, "metrics.jsonl")
+        self._jsonl = open(self.jsonl_path, "a")
+        self.writer = None
+        if use_tensorboard:
+            try:
+                from tensorboardX import SummaryWriter
+
+                self.writer = SummaryWriter(log_dir)
+            except ImportError:
+                pass
+
+    def scalar(self, tag: str, value: float, step: int):
+        if self.writer is not None:
+            self.writer.add_scalar(tag, value, step)
+        self._jsonl.write(
+            json.dumps({"t": time.time(), "tag": tag, "value": float(value),
+                        "step": int(step)}) + "\n"
+        )
+
+    def scalars(self, values: Dict[str, float], step: int, prefix: str = ""):
+        for k, v in values.items():
+            self.scalar(f"{prefix}{k}", float(v), step)
+
+    def image(self, tag: str, img, step: int):
+        if self.writer is not None:
+            self.writer.add_image(tag, img, step)
+
+    def flush(self):
+        self._jsonl.flush()
+        if self.writer is not None:
+            self.writer.flush()
+
+    def close(self):
+        self.flush()
+        self._jsonl.close()
+        if self.writer is not None:
+            self.writer.close()

@@ -1,0 +1,159 @@
+"""Data pipeline tests: synthetic NOCS tree -> dataset -> loader -> process_batch."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from genpose_tpu.config import Config, PtsAugConfig
+from genpose_tpu.data.augment import data_augment, get_rotation
+from genpose_tpu.data.process import encode_rotation, matrix_to_euler_zyx, process_batch
+from genpose_tpu.data.synthetic import make_synthetic_nocs_dir, synthetic_batch
+from genpose_tpu.ops.pose import euler_zyx_to_matrix, get_rot_matrix
+
+
+@pytest.fixture(scope="module")
+def nocs_dir(tmp_path_factory):
+    root = tmp_path_factory.mktemp("nocs")
+    return make_synthetic_nocs_dir(str(root), n_camera_scenes=4, n_real_scenes=2)
+
+
+def test_dataset_loads_and_shapes(nocs_dir):
+    from genpose_tpu.data.nocs import NOCSDataset
+
+    ds = NOCSDataset(data_dir=nocs_dir, source="CAMERA+Real", mode="train",
+                     n_pts=256)
+    assert len(ds) == 6  # 4 CAMERA + 2 Real
+    assert ds.subset_len == [4, 2]
+    item = ds[0]
+    assert item["pcl_in"].shape == (256, 3)
+    assert item["rotation"].shape == (3, 3)
+    assert item["model_point"].shape == (1024, 3)
+    assert 0 <= int(item["cat_id"]) < 6
+
+    # back-projected cloud must lie near the posed model surface
+    R, t, s = item["rotation"], item["translation"], float(item["nocs_scale"])
+    obj = (item["pcl_in"] - t) @ R  # to object frame, scaled
+    model = item["model_point"] * s
+    d = np.linalg.norm(obj[:, None, :] - model[None], axis=-1).min(-1)
+    assert np.median(d) < 0.02  # within 2cm of the synthetic surface
+
+
+def test_dataset_test_split_uses_real_only(nocs_dir):
+    from genpose_tpu.data.nocs import NOCSDataset
+
+    ds = NOCSDataset(data_dir=nocs_dir, source="CAMERA+Real", mode="test",
+                     n_pts=128)
+    assert len(ds) == 2  # Real/test only
+    assert all("Real" in p for p in ds.img_list)
+
+
+def test_loader_batches(nocs_dir):
+    from genpose_tpu.data.loader import DataLoader
+    from genpose_tpu.data.nocs import NOCSDataset
+
+    ds = NOCSDataset(data_dir=nocs_dir, source="CAMERA", mode="train", n_pts=128)
+    loader = DataLoader(ds, batch_size=2, shuffle=True, num_workers=2)
+    batches = list(loader)
+    assert len(batches) == 2
+    b = batches[0]
+    assert b["pcl_in"].shape == (2, 128, 3)
+    assert b["rotation"].shape == (2, 3, 3)
+    assert isinstance(b["path"][0], str)
+
+
+def test_camera_real_resampling():
+    from genpose_tpu.data.loader import camera_real_indices
+
+    rng = np.random.default_rng(0)
+    idx = camera_real_indices([300, 10], 1.0, rng)
+    # CAMERA:Real target ratio 3:1 via repeating Real indices
+    n_real = (idx >= 300).sum()
+    n_camera = (idx < 300).sum()
+    assert n_camera == 300
+    assert n_real == 90  # (300//3 - 10)//10 * 10
+
+
+def test_process_batch_zero_center(nocs_dir):
+    rng = np.random.default_rng(1)
+    raw = synthetic_batch(rng, bs=4, n_pts=128)
+    out = process_batch(raw, pose_mode="rot_matrix")
+    assert out["gt_pose"].shape == (4, 9)
+    assert out["zero_mean_pts"].shape == (4, 128, 3)
+    np.testing.assert_allclose(
+        np.asarray(jnp.mean(out["zero_mean_pts"], axis=1)), 0.0, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(out["zero_mean_gt_pose"][:, -3:] + out["pts_center"]),
+        np.asarray(out["gt_pose"][:, -3:]), atol=1e-6)
+    # 6D encoding must invert back to the GT rotation
+    R = get_rot_matrix(out["gt_pose"][:, :6], "rot_matrix")
+    np.testing.assert_allclose(np.asarray(R), raw["rotation"], atol=1e-5)
+
+
+def test_process_batch_with_augmentation():
+    rng = np.random.default_rng(2)
+    raw = synthetic_batch(rng, bs=16, n_pts=128)
+    out = process_batch(raw, pose_mode="rot_matrix", key=jax.random.PRNGKey(0),
+                        pts_aug_params=PtsAugConfig())
+    assert np.isfinite(np.asarray(out["zero_mean_pts"])).all()
+    assert np.isfinite(np.asarray(out["gt_pose"])).all()
+    # augmented pose must still be a valid rotation
+    R = np.asarray(get_rot_matrix(out["gt_pose"][:, :6], "rot_matrix"))
+    eye = np.einsum("bij,bkj->bik", R, R)
+    np.testing.assert_allclose(eye, np.tile(np.eye(3), (16, 1, 1)), atol=1e-4)
+
+
+def test_augment_preserves_pose_consistency():
+    """After RT augmentation, transformed cloud stays consistent with the
+    transformed pose: reprojection into the object frame matches pre-aug."""
+    rng = np.random.default_rng(3)
+    raw = synthetic_batch(rng, bs=8, n_pts=128)
+    aug = PtsAugConfig(aug_pc_pro=0.0, aug_bb_pro=0.0, aug_bc_pro=0.0,
+                       aug_rt_pro=1.0)  # rigid-only
+    PC, gt_R, gt_t, gt_s = data_augment(
+        jax.random.PRNGKey(1), aug,
+        jnp.asarray(raw["pcl_in"]), jnp.asarray(raw["rotation"]),
+        jnp.asarray(raw["translation"]), jnp.asarray(raw["fsnet_scale"]),
+        jnp.asarray(raw["mean_shape"]), jnp.asarray(raw["sym_info"]),
+        jnp.asarray(raw["aug_bb"]), jnp.asarray(raw["aug_rt_t"]),
+        jnp.asarray(raw["aug_rt_R"]), jnp.asarray(raw["model_point"]),
+        jnp.asarray(raw["nocs_scale"]), jnp.asarray(raw["cat_id"]),
+    )
+    before = np.einsum("bji,bnj->bni", raw["rotation"],
+                       raw["pcl_in"] - raw["translation"][:, None])
+    after = np.einsum("bji,bnj->bni", np.asarray(gt_R),
+                      np.asarray(PC) - np.asarray(gt_t)[:, None])
+    np.testing.assert_allclose(after, before, atol=1e-4)
+
+
+def test_euler_roundtrip():
+    rng = np.random.default_rng(4)
+    ang = rng.uniform(-1.2, 1.2, size=(16, 3)).astype(np.float32)
+    R = euler_zyx_to_matrix(jnp.asarray(ang))
+    back = np.asarray(matrix_to_euler_zyx(R))
+    np.testing.assert_allclose(back, ang, atol=1e-5)
+
+
+def test_encode_rotation_quat():
+    rng = np.random.default_rng(5)
+    from genpose_tpu.ops.pose import quat_wxyz_to_matrix
+
+    q = rng.normal(size=(8, 4))
+    q /= np.linalg.norm(q, axis=-1, keepdims=True)
+    q[q[:, 0] < 0] *= -1
+    R = quat_wxyz_to_matrix(jnp.asarray(q))
+    enc = np.asarray(encode_rotation(R, "quat_wxyz"))
+    # q and -q encode the same rotation; compare up to sign
+    sign = np.sign(np.sum(enc * q, axis=-1, keepdims=True))
+    np.testing.assert_allclose(sign * enc, q, atol=1e-5)
+    enc_x = np.asarray(encode_rotation(R, "quat_xyzw"))
+    sign_x = np.sign(np.sum(enc_x * q[:, [1, 2, 3, 0]], axis=-1, keepdims=True))
+    np.testing.assert_allclose(sign_x * enc_x, q[:, [1, 2, 3, 0]], atol=1e-5)
+
+
+def test_get_rotation_matches_numpy():
+    from genpose_tpu.data.nocs import get_rotation_np
+
+    got = np.asarray(get_rotation(10.0, -20.0, 30.0))
+    want = get_rotation_np(10.0, -20.0, 30.0)
+    np.testing.assert_allclose(got, want, atol=1e-5)

@@ -1,0 +1,189 @@
+"""Training-stack tests: state/EMA/schedule, ranking, agent end-to-end."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from genpose_tpu.config import Config
+from genpose_tpu.training.ranking import ranking_loss, sort_poses_by_energy, sort_results
+from genpose_tpu.training.state import EMA, make_lr_schedule
+
+
+def test_lr_schedule():
+    """warmup over 100 steps, 0.98/epoch decay, 1e-4 floor
+    (ref posenet_agent.py:543-550)."""
+    sched = make_lr_schedule(1e-3, 100, 0.98, steps_per_epoch=50)
+    assert np.isclose(float(sched(0)), 0.0)
+    assert np.isclose(float(sched(50)), 5e-4 * 0.98)  # half warmup, epoch 1
+    assert np.isclose(float(sched(100)), 1e-3 * 0.98**2)  # epoch 2 started
+    # floor: after many epochs lr stays just under 1e-4, never collapses
+    late = float(sched(50 * 1000))
+    assert 9e-5 < late < 1.01e-4
+
+
+def test_ema_warmup_decay():
+    """EMA decay = min(rate, (1+n)/(10+n)) (ref score_utils.py:25-45)."""
+    params = {"w": jnp.zeros(3)}
+    ema = EMA.create(params, decay=0.999)
+    new_params = {"w": jnp.ones(3)}
+    ema = ema.update(new_params)
+    # first update: decay = 2/11 -> shadow = 0*2/11 + 1*(9/11)
+    np.testing.assert_allclose(np.asarray(ema.shadow["w"]), 9.0 / 11.0, rtol=1e-6)
+
+
+def test_ranking_loss_reference_value():
+    """Reproduces the reference smoke test (reward.py:158-164):
+    energies [100, 9, 8, 10] sorted by (assumed) GT order."""
+    energy = jnp.asarray([[[100.0, 100], [9, 9], [8, 8], [10, 10]]])
+    loss = float(ranking_loss(energy))
+    # pairs (i<j): (0,1),(0,2),(0,3),(1,2),(1,3),(2,3)
+    # diff = 1 + (ej-ei)/(|ei-ej|+1e-5): ~0 when ei>ej else ~2
+    # (0,*): ei=100 > all -> ~0 each; (1,2): 9>8 -> ~0; (1,3): 9<10 -> ~2
+    # (2,3): 8<10 -> ~2  => mean = 4/6
+    assert abs(loss - 4.0 / 6.0) < 1e-3
+
+
+def test_ranking_loss_perfectly_ranked_is_zero():
+    e = jnp.asarray(np.linspace(10, 1, 5).reshape(1, 5, 1).repeat(2, -1))
+    assert float(ranking_loss(e)) < 1e-3
+    e_bad = e[:, ::-1]
+    assert abs(float(ranking_loss(e_bad)) - 2.0) < 1e-3
+
+
+def test_sort_results():
+    rng = np.random.default_rng(0)
+    energy = jnp.asarray(rng.normal(size=(2, 5, 2)).astype(np.float32))
+    metrics = jnp.asarray(rng.uniform(size=(2, 5, 2)).astype(np.float32))
+    out = np.asarray(sort_results(energy, metrics))
+    for b in range(2):
+        for c in range(2):
+            order = np.argsort(np.asarray(metrics)[b, :, c])
+            np.testing.assert_array_equal(out[b, :, c],
+                                          np.asarray(energy)[b, order, c])
+
+
+def test_sort_poses_by_energy_decoupled():
+    """Pose rows follow rot-energy order; translations follow trans-energy
+    order (ref reward.py:131-155)."""
+    poses = jnp.asarray(np.arange(2 * 3 * 9, dtype=np.float32).reshape(2, 3, 9))
+    energy = jnp.asarray(
+        [[[1.0, 3.0], [3.0, 1.0], [2.0, 2.0]],
+         [[9.0, 7.0], [7.0, 9.0], [8.0, 8.0]]]
+    )
+    sp, se = sort_poses_by_energy(poses, energy)
+    sp, se = np.asarray(sp), np.asarray(se)
+    p = np.asarray(poses)
+    # batch 0: rot order (desc rot-energy) = [1, 2, 0]; trans order = [0, 2, 1]
+    np.testing.assert_array_equal(sp[0, :, :6], p[0][[1, 2, 0], :6])
+    np.testing.assert_array_equal(sp[0, :, 6:], p[0][[0, 2, 1], 6:])
+    np.testing.assert_array_equal(se[0, :, 0], [3, 2, 1])
+    np.testing.assert_array_equal(se[0, :, 1], [3, 2, 1])
+
+
+def _tiny_cfg(**kw):
+    base = dict(
+        num_points=64, repeat_num=2, sampling_steps=8, batch_size=4,
+        pointnet2_params="light", warmup=2, sampler_mode=("ode",),
+    )
+    base.update(kw)
+    return Config(**base)
+
+
+def _make_batch(cfg, key, bs=4):
+    k1, k2, k3 = jax.random.split(key, 3)
+    pts = jax.random.normal(k1, (bs, cfg.num_points, 3)) * 0.1
+    gt = jax.random.normal(k2, (bs, 9))
+    center = jax.random.normal(k3, (bs, 3)) * 0.01
+    return {
+        "zero_mean_pts": pts,
+        "zero_mean_gt_pose": gt,
+        "gt_pose": gt.at[:, -3:].add(center),
+        "pts_center": center,
+        "id": jnp.zeros((bs,), jnp.int32),
+        "handle_visibility": jnp.ones((bs,), jnp.int32),
+    }
+
+
+def test_score_agent_train_and_sample():
+    from genpose_tpu.training.agent import PoseAgent
+
+    cfg = _tiny_cfg()
+    agent = PoseAgent(cfg, posenet_mode="score", steps_per_epoch=4)
+    batch = _make_batch(cfg, jax.random.PRNGKey(0))
+
+    l0 = agent.train_step(batch, jax.random.PRNGKey(1))
+    l1 = agent.train_step(batch, jax.random.PRNGKey(2))
+    assert np.isfinite(float(l0["gf"])) and np.isfinite(float(l1["gf"]))
+    assert int(agent.state.step) == 2
+
+    ema = agent.ema_loss(batch, jax.random.PRNGKey(3))
+    assert np.isfinite(float(ema))
+
+    pred = agent.sample(batch, jax.random.PRNGKey(4), repeat_num=3,
+                        sampler="ode", num_steps=8)
+    assert pred.shape == (4, 3, 9)
+    assert np.isfinite(np.asarray(pred)).all()
+    # rotation blocks are normalized
+    np.testing.assert_allclose(
+        np.linalg.norm(np.asarray(pred)[..., :3], axis=-1), 1.0, atol=1e-4)
+
+    pred_q, avg = agent.aggregate_hypotheses(pred)
+    assert pred_q.shape == (4, 3, 7) and avg.shape == (4, 7)
+    np.testing.assert_allclose(np.linalg.norm(np.asarray(avg)[:, :4], axis=-1),
+                               1.0, atol=1e-4)
+
+
+def test_energy_agent_train_and_energy():
+    from genpose_tpu.training.agent import PoseAgent
+
+    cfg = _tiny_cfg()
+    agent = PoseAgent(cfg, posenet_mode="energy", steps_per_epoch=4)
+    batch = _make_batch(cfg, jax.random.PRNGKey(5))
+    pose_samples = jax.random.normal(jax.random.PRNGKey(6), (4, 5, 9))
+
+    losses = agent.train_step_energy(batch, pose_samples, jax.random.PRNGKey(7))
+    assert np.isfinite(float(losses["gf"]))
+    assert np.isfinite(float(losses["ranking"]))
+    assert 0.0 <= float(losses["ranking"]) <= 2.0
+
+    e = agent.get_energy(batch, pose_samples, T=1e-5)
+    assert e.shape == (4, 5, 2)
+    e2 = agent.get_energy(batch, pose_samples, key=jax.random.PRNGKey(8))
+    assert e2.shape == (4, 5, 2)
+
+    # energy model can also act as a score model (grad of energy) and sample
+    pred = agent.sample(batch, jax.random.PRNGKey(9), repeat_num=2,
+                        sampler="ode", num_steps=6)
+    assert pred.shape == (4, 2, 9)
+
+
+def test_agent_likelihood():
+    from genpose_tpu.training.agent import PoseAgent
+
+    cfg = _tiny_cfg()
+    agent = PoseAgent(cfg, posenet_mode="score", steps_per_epoch=4)
+    batch = _make_batch(cfg, jax.random.PRNGKey(10))
+    poses = jax.random.normal(jax.random.PRNGKey(11), (4, 9))
+    z, ll = agent.likelihood(batch, poses, jax.random.PRNGKey(12), num_steps=8)
+    assert z.shape == (4, 9) and ll.shape == (4,)
+    assert np.isfinite(np.asarray(ll)).all()
+
+
+def test_sharded_train_step():
+    """DP over the 8-device CPU mesh: loss finite, params stay replicated."""
+    from genpose_tpu.parallel.mesh import make_mesh, shard_batch
+    from genpose_tpu.training.agent import PoseAgent
+
+    assert jax.device_count() >= 8
+    mesh = make_mesh(8)
+    cfg = _tiny_cfg(batch_size=8)
+    agent = PoseAgent(cfg, posenet_mode="score", steps_per_epoch=4, mesh=mesh)
+    batch = _make_batch(cfg, jax.random.PRNGKey(13), bs=8)
+    batch = shard_batch(mesh, batch)
+
+    losses = agent.train_step(batch, jax.random.PRNGKey(14))
+    assert np.isfinite(float(losses["gf"]))
+
+    pred = agent.sample(batch, jax.random.PRNGKey(15), repeat_num=2,
+                        sampler="ode", num_steps=6)
+    assert pred.shape == (8, 2, 9)
