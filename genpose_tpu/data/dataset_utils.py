@@ -197,6 +197,36 @@ def sample_points(pcl: np.ndarray, n_pts: int, rng: np.random.Generator) -> np.n
     return pcl
 
 
+def backproject_and_sample(depth, K, xymap, mask, n_pts: int,
+                           rng: np.random.Generator,
+                           scale: float = 1.0):
+    """Fused masked back-projection + sampling for the per-instance hot path.
+
+    Dispatches to the native C++ kernel (``genpose_tpu/native``) when it is
+    available — a single GIL-releasing pass replacing the reference's
+    DataLoader-worker numpy chain (``datasets_genpose.py:370-397``) — and
+    falls back to :func:`depth_to_pcl` + :func:`sample_points` otherwise.
+
+    Returns ``(n_valid, pcl)`` where pcl is ``(n_pts, 3)`` float32; callers
+    apply their own minimum-point cutoff on ``n_valid``.
+    """
+    from genpose_tpu import native
+
+    if native.available():
+        Kf = np.asarray(K).reshape(-1)
+        seed = int(rng.integers(0, 2**63 - 1))
+        n_valid, pcl = native.backproject_sample(
+            depth, mask, xymap[0], xymap[1],
+            fx=Kf[0], fy=Kf[4], cx=Kf[2], cy=Kf[5],
+            scale=scale, n_pts=n_pts, seed=seed)
+        return n_valid, pcl
+    pcl = depth_to_pcl(depth, K, xymap, mask) * scale
+    n_valid = pcl.shape[0]
+    if n_valid == 0:
+        return 0, np.zeros((n_pts, 3), dtype=np.float32)
+    return n_valid, sample_points(pcl, n_pts, rng)
+
+
 def defor_2D(roi_mask, rng: np.random.Generator, rand_r=2, rand_pro=0.3):
     """Random mask erode/dilate boundary noise (ref ``data_augmentation.py:10-33``)."""
     roi_mask = roi_mask.copy().squeeze()

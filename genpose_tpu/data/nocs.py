@@ -29,13 +29,12 @@ import numpy as np
 from genpose_tpu.config import Deform2DConfig, DynamicZoomInConfig
 from genpose_tpu.data.dataset_utils import (
     aug_bbox_DZI,
+    backproject_and_sample,
     crop_resize_by_warp_affine,
     defor_2D,
-    depth_to_pcl,
     get_2d_coord_np,
     get_bbox,
     load_depth,
-    sample_points,
 )
 
 try:
@@ -314,10 +313,11 @@ class NOCSDataset:
             rand_r=self.deform_2d_params.roi_mask_r,
             rand_pro=self.deform_2d_params.roi_mask_pro,
         )
-        pcl_in = depth_to_pcl(roi_depth, out_camK, roi_coord_2d, roi_mask_def) / 1000.0
-        if len(pcl_in) < 50:
+        n_valid, pcl_in = backproject_and_sample(
+            roi_depth, out_camK, roi_coord_2d, roi_mask_def,
+            self.n_pts, self.rng, scale=1.0 / 1000.0)
+        if n_valid < 50:
             return None
-        pcl_in = sample_points(pcl_in, self.n_pts, self.rng)
 
         sym_info = get_sym_info(self.id2cat_name[str(cat_id + 1)], mug_handle)
         bb_aug, rt_aug_t, rt_aug_R = self.generate_aug_parameters()

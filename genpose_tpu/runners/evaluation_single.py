@@ -31,12 +31,11 @@ import numpy as np
 
 from genpose_tpu.config import Config, get_config
 from genpose_tpu.data.dataset_utils import (
+    backproject_and_sample,
     crop_resize_by_warp_affine,
-    depth_to_pcl,
     get_2d_coord_np,
     get_bbox,
     load_depth,
-    sample_points,
 )
 from genpose_tpu.eval.nocs_eval import compute_mAP, plot_mAP
 from genpose_tpu.ops.pose import get_rot_matrix
@@ -90,10 +89,12 @@ def _instance_points(raw_depth, mask, bbox, cam_K, img_size, num_points, rng):
         return None
     if (roi_mask.astype(bool) * (roi_depth > 0)).sum() <= 1.0:
         return None
-    pcl = depth_to_pcl(roi_depth, cam_K, roi_coord_2d, roi_mask) / 1000.0
-    if len(pcl) == 0:
+    n_valid, pcl = backproject_and_sample(
+        roi_depth, cam_K, roi_coord_2d, roi_mask, num_points, rng,
+        scale=1.0 / 1000.0)
+    if n_valid == 0:
         return None
-    return sample_points(pcl, num_points, rng)
+    return pcl
 
 
 def detect_mrcnn_genpose(cfg: Config, save_path: str):
