@@ -54,6 +54,31 @@ def _maybe_mesh(cfg: Config):
     return make_mesh(n) if n > 1 else None
 
 
+def _visualize_eval(cfg: Config, logger: MetricsLogger, batch, pred, process,
+                    mode: str, epoch: int, log_dir: str):
+    """Pose-render grid to the metrics logger + optional per-step diffusion
+    videos (ref ``posenet_agent.py:343-351, 590-598``).  Best-effort: eval
+    metrics never depend on the viz stack."""
+    try:
+        from genpose_tpu.utils.visualize import (
+            create_grid_image,
+            test_time_visualize,
+        )
+        grid, _ = create_grid_image(
+            np.asarray(batch["pts"]), np.asarray(pred),
+            np.asarray(batch["gt_pose"]), None, cfg.pose_mode, cfg.o2c_pose)
+        logger.image(f"{mode}/pose_render", grid.transpose(2, 0, 1), epoch)
+        if cfg.save_video and process is not None:
+            test_time_visualize(
+                os.path.join(log_dir, f"video_epoch{epoch}_{mode}"),
+                {"pts": np.asarray(batch["pts"]),
+                 "gt_pose": np.asarray(batch["gt_pose"])},
+                np.asarray(pred), np.asarray(process[:, 0]),
+                cfg.pose_mode, cfg.o2c_pose)
+    except Exception as e:  # pragma: no cover - viz deps optional
+        print(f"eval visualization skipped: {e}")
+
+
 def train_score(cfg: Config, train_loader, val_loader, agent: PoseAgent,
                 mesh=None):
     """Score (or ranking-free energy) training loop (ref ``trainer.py:266-322``)."""
@@ -88,8 +113,16 @@ def train_score(cfg: Config, train_loader, val_loader, agent: PoseAgent,
                 key, k_s = jax.random.split(key)
                 batch = process_batch(raw, cfg.pose_mode,
                                       mini_batch_size=cfg.mini_bs)
-                pred = agent.sample(batch, k_s, repeat_num=1,
-                                    num_steps=cfg.sampling_steps)
+                process = None
+                if cfg.save_video:
+                    process, pred = agent.sample(
+                        batch, k_s, repeat_num=1,
+                        num_steps=cfg.sampling_steps, return_process=True)
+                else:
+                    pred = agent.sample(batch, k_s, repeat_num=1,
+                                        num_steps=cfg.sampling_steps)
+                _visualize_eval(cfg, logger, batch, pred[:, 0], process,
+                                mode, clock.epoch, log_dir)
                 rot_err, trans_err = get_metrics(
                     np.asarray(pred[:, 0]), np.asarray(batch["gt_pose"]),
                     np.asarray(batch["id"]), cfg.synset_names,
@@ -236,6 +269,88 @@ def evaluation(cfg: Config):
     return error
 
 
+def prediction(cfg: Config, test_loader, agent: PoseAgent,
+               energy_agent: Optional[PoseAgent] = None):
+    """Debug/visualization path (ref ``trainer.py:29-160``): K hypotheses per
+    test sample, energy ranking, quaternion-averaged + best-energy poses,
+    mean/median errors, and SO(3)-distribution pngs (non-interactive —
+    artifacts replace the reference's ``set_trace`` inspection stops)."""
+    from genpose_tpu.ops.pose import get_rot_matrix, matrix_to_quat_wxyz
+    from genpose_tpu.training.ranking import sort_poses_by_energy
+
+    e_agent = energy_agent or agent
+    key = jax.random.PRNGKey(cfg.seed + 3)
+    out_dir = os.path.join("results", "predictions", cfg.log_dir)
+    os.makedirs(out_dir, exist_ok=True)
+
+    all_res = []
+    for index, raw in enumerate(test_loader):
+        if index > cfg.max_eval_num:
+            break
+        key, k_s = jax.random.split(key)
+        batch = process_batch(raw, cfg.pose_mode)
+        pred = agent.sample(batch, k_s, repeat_num=cfg.repeat_num,
+                            num_steps=cfg.sampling_steps)  # [bs, K, D]
+        if e_agent.mode == "energy":
+            energy = e_agent.get_energy(batch, pred, T=1e-5)
+            sorted_pose, _ = sort_poses_by_energy(pred, energy)
+            chosen = sorted_pose[:, 0]
+        else:  # score-only run: no ranking signal, take the first hypothesis
+            energy = jnp.zeros(pred.shape[:2] + (2,))
+            chosen = pred[:, 0]
+
+        pred_q, avg = agent.aggregate_hypotheses(pred)
+        gt = jnp.asarray(batch["gt_pose"])
+        gt_q = jnp.concatenate(
+            [matrix_to_quat_wxyz(get_rot_matrix(gt[:, :-3], cfg.pose_mode)),
+             gt[:, -3:]], axis=-1)
+        chosen_q = jnp.concatenate(
+            [matrix_to_quat_wxyz(get_rot_matrix(chosen[:, :-3], cfg.pose_mode)),
+             chosen[:, -3:]], axis=-1)
+
+        for name, pose in (("average", avg), ("best_energy", chosen_q)):
+            rot_err, trans_err = get_metrics(
+                np.asarray(pose), np.asarray(gt_q), np.asarray(batch["id"]),
+                cfg.synset_names, np.asarray(batch["handle_visibility"]),
+                "quat_wxyz", cfg.o2c_pose)
+            err = np.stack([rot_err, trans_err], axis=1)
+            print(f"[batch {index}] {name}: mean error {err.mean(0)}  "
+                  f"median error {np.median(err, 0)}")
+        all_res.append({
+            "pred_pose": np.asarray(pred_q), "average_pred_pose": np.asarray(avg),
+            "choosed_pred_pose": np.asarray(chosen_q), "gt_pose": np.asarray(gt_q),
+            "energy": np.asarray(energy), "pts": np.asarray(batch["pts"]),
+        })
+
+    # SO(3)-distribution + grid images for the first few samples
+    try:
+        from genpose_tpu.utils.so3_visualize import visualize_so3
+        from genpose_tpu.utils.visualize import create_grid_image
+        first = all_res[0]
+        for i in range(min(first["pred_pose"].shape[0], 8)):
+            grid, _ = create_grid_image(
+                first["pts"][i:i + 1], first["average_pred_pose"][i:i + 1],
+                first["gt_pose"][i:i + 1], None, pose_mode="quat_wxyz",
+                inverse_pose=cfg.o2c_pose)
+            visualize_so3(
+                save_path=os.path.join(out_dir, f"so3_distribution_{i}.png"),
+                pred_rotations=np.asarray(get_rot_matrix(
+                    jnp.asarray(first["pred_pose"][i][:, :-3]), "quat_wxyz")),
+                pred_rotation=np.asarray(get_rot_matrix(
+                    jnp.asarray(first["average_pred_pose"][i:i + 1, :-3]),
+                    "quat_wxyz")),
+                gt_rotation=np.asarray(get_rot_matrix(
+                    jnp.asarray(first["gt_pose"][i:i + 1, :-3]), "quat_wxyz")),
+                image=grid)
+    except Exception as e:  # pragma: no cover - viz deps optional
+        print(f"visualization skipped: {e}")
+
+    with open(os.path.join(out_dir, "prediction_results.pkl"), "wb") as f:
+        pickle.dump(all_res, f)
+    print(f"prediction artifacts -> {out_dir}")
+    return all_res
+
+
 def _load_pretrained(agent: PoseAgent, path: str, load_model_only=True):
     agent.state = load_checkpoint(path, agent.state, load_model_only)
 
@@ -293,6 +408,14 @@ def main(argv=None):
         print("Start inference ...")
         inference(cfg, test_loader, tr_agent)
         print("Inference finished")
+        return
+
+    if cfg.pred:
+        print("Start prediction ...")
+        energy_agent = tr_agent if cfg.agent_type != "score" else None
+        score = score_agent if cfg.agent_type != "energy" else tr_agent
+        prediction(cfg, test_loader, score, energy_agent)
+        print("Prediction finished")
         return
 
     if cfg.agent_type == "score":
