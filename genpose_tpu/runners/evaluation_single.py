@@ -39,6 +39,7 @@ from genpose_tpu.data.dataset_utils import (
 )
 from genpose_tpu.eval.nocs_eval import compute_mAP, plot_mAP
 from genpose_tpu.ops.pose import get_rot_matrix
+from genpose_tpu.parallel.mesh import make_mesh, shard_batch
 from genpose_tpu.training.agent import PoseAgent
 from genpose_tpu.training.checkpoints import load_checkpoint
 from genpose_tpu.training.ranking import sort_poses_by_energy
@@ -231,9 +232,15 @@ def _batched(num: int, batch_size: int):
 
 
 def inference_pose(cfg: Config, score_agent: PoseAgent, data_path: str,
-                   inference_res_dir: str, key: Optional[jax.Array] = None):
+                   inference_res_dir: str, key: Optional[jax.Array] = None,
+                   mesh=None):
     """Stage 2: K-hypothesis score sampling per category batch
-    (ref ``evaluation_single.py:356-425``)."""
+    (ref ``evaluation_single.py:356-425``).
+
+    With a mesh, each padded batch is sharded over the ``dp`` axis and the
+    jitted sampler runs SPMD across chips — the (instances x K) axis is the
+    scalable dimension of this workload (SURVEY §2.3).
+    """
     key = key if key is not None else jax.random.PRNGKey(cfg.seed)
     detect_result, categorized = unpack_data(cfg, data_path)
 
@@ -253,6 +260,8 @@ def inference_pose(cfg: Config, score_agent: PoseAgent, data_path: str,
                 pad = np.repeat(pts[-1:], cfg.batch_size - n_real, axis=0)
                 pts = np.concatenate([pts, pad], axis=0)
             batch = _zero_center_batch(pts)
+            if mesh is not None:
+                batch = shard_batch(mesh, batch)
             key, k_s = jax.random.split(key)
             pred = score_agent.sample(
                 batch, k_s, repeat_num=cfg.eval_repeat_num, sampler="ode",
@@ -273,7 +282,7 @@ def inference_pose(cfg: Config, score_agent: PoseAgent, data_path: str,
 
 
 def inference_energy(cfg: Config, energy_agent: PoseAgent,
-                     inference_res_dir: str):
+                     inference_res_dir: str, mesh=None):
     """Stage 3: energy scoring + decoupled hypothesis sort
     (ref ``evaluation_single.py:428-489``)."""
     with open(os.path.join(inference_res_dir, "results_wo_energy.pkl"), "rb") as f:
@@ -296,6 +305,8 @@ def inference_energy(cfg: Config, energy_agent: PoseAgent,
                 pred_pose = np.concatenate(
                     [pred_pose, np.repeat(pred_pose[-1:], pad_n, 0)], 0)
             batch = _zero_center_batch(pts)
+            if mesh is not None:
+                batch = shard_batch(mesh, batch)
             energy = energy_agent.get_energy(
                 batch, jnp.asarray(pred_pose), T=1e-5)
             sorted_pose, sorted_energy = sort_poses_by_energy(
@@ -409,21 +420,31 @@ def main(argv=None):
     print("Detecting ...")
     detect_mrcnn_results(cfg, seg_path)
 
+    n_dev = cfg.num_devices or len(jax.devices())
+    mesh = make_mesh(n_dev) if n_dev > 1 and cfg.batch_size % n_dev == 0 \
+        else None
+    if mesh is not None:
+        print(f"Sharding eval batches over {n_dev} devices")
+
+    def _load(agent, model_dir):
+        agent.state = load_checkpoint(
+            os.path.join("results", "ckpts", model_dir),
+            agent.state, load_model_only=True)
+        if mesh is not None:  # checkpoint load drops device placement
+            from genpose_tpu.parallel.mesh import replicate
+            agent.state = replicate(mesh, agent.state)
+
     print("Predict pose ...")
-    score_agent = PoseAgent(cfg, "score")
+    score_agent = PoseAgent(cfg, "score", mesh=mesh)
     if cfg.score_model_dir:
-        score_agent.state = load_checkpoint(
-            os.path.join("results", "ckpts", cfg.score_model_dir),
-            score_agent.state, load_model_only=True)
-    inference_pose(cfg, score_agent, seg_path, inference_res_dir)
+        _load(score_agent, cfg.score_model_dir)
+    inference_pose(cfg, score_agent, seg_path, inference_res_dir, mesh=mesh)
 
     print("Predict energy ...")
-    energy_agent = PoseAgent(cfg, "energy")
+    energy_agent = PoseAgent(cfg, "energy", mesh=mesh)
     if cfg.energy_model_dir:
-        energy_agent.state = load_checkpoint(
-            os.path.join("results", "ckpts", cfg.energy_model_dir),
-            energy_agent.state, load_model_only=True)
-    inference_energy(cfg, energy_agent, inference_res_dir)
+        _load(energy_agent, cfg.energy_model_dir)
+    inference_energy(cfg, energy_agent, inference_res_dir, mesh=mesh)
 
     print("Evaluating ...")
     evaluate(cfg, inference_res_dir, "results_with_energy.pkl")
