@@ -42,6 +42,24 @@ def main():
     score_agent = PoseAgent(cfg, "score", steps_per_epoch=100)
     energy_agent = PoseAgent(cfg, "energy", steps_per_epoch=100)
 
+    # The reference zero-initializes each tail's last layer (scorenet.py:
+    # 120-135), so a fresh net computes score = 0 and XLA constant-folds the
+    # whole ODE scan away.  Perturb every parameter so the benchmark measures
+    # the real trained-model compute graph, not a dead-code-eliminated one.
+    def _derandomize(state):
+        leaves, treedef = jax.tree.flatten(state.params)
+        keys = jax.random.split(jax.random.PRNGKey(42), len(leaves))
+        leaves = [
+            l + 0.01 * jax.random.normal(k, l.shape, l.dtype)
+            for l, k in zip(leaves, keys)
+        ]
+        params = jax.tree.unflatten(treedef, leaves)
+        return state.replace(params=params,
+                             ema=state.ema.replace(shadow=params))
+
+    score_agent.state = _derandomize(score_agent.state)
+    energy_agent.state = _derandomize(energy_agent.state)
+
     rng = np.random.default_rng(0)
     pts = jnp.asarray(rng.normal(size=(bs, cfg.num_points, 3)).astype(np.float32) * 0.1)
     center = jnp.mean(pts, axis=1)
@@ -50,23 +68,38 @@ def main():
         "pts_center": center,
     }
 
-    def full_inference(key):
-        pred = score_agent.sample(batch, key, repeat_num=K, sampler="ode",
-                                  num_steps=steps, T0=0.55)
-        energy = energy_agent.get_energy(batch, pred, T=1e-5)
+    # one jitted end-to-end pipeline = one dispatch per iteration (what a
+    # serving deployment would run); stage-per-call dispatch overhead is a
+    # tunnel artifact, not device time.
+    @jax.jit
+    def full_inference(score_state, energy_state, batch, key):
+        pred = score_agent._sample_impl(score_state, batch, key, repeat_num=K,
+                                        sampler="ode", num_steps=steps, T0=0.55)
+        t_in = jnp.full((bs, K), 1e-5)
+        energy = energy_agent._get_energy_impl(energy_state, batch, pred, t_in)
         sorted_pose, _ = sort_poses_by_energy(pred, energy)
         keep = max(1, int(0.6 * K))
         _, avg = score_agent.aggregate_hypotheses(sorted_pose[:, :keep])
         return avg
 
-    # warmup / compile
-    out = full_inference(jax.random.PRNGKey(0))
-    out.block_until_ready()
+    def chained(batch, key, carry):
+        # thread the previous result into this iteration's input so the
+        # device must serialize iterations; on the tunneled TPU backend,
+        # block_until_ready over a chain of independent in-flight dispatches
+        # returns early and over-reports throughput by >10x.
+        bump = 1e-12 * jnp.sum(carry)
+        b = {k: v + bump for k, v in batch.items()}
+        return full_inference(score_agent.state, energy_agent.state, b, key)
+
+    # warmup / compile, fully synced via a host copy (block_until_ready
+    # alone is unreliable over the tunnel)
+    out = chained(batch, jax.random.PRNGKey(0), jnp.zeros((bs, 7)))
+    np.asarray(out)
 
     t0 = time.perf_counter()
     for i in range(iters):
-        out = full_inference(jax.random.PRNGKey(i + 1))
-    out.block_until_ready()
+        out = chained(batch, jax.random.PRNGKey(i + 1), out)
+    np.asarray(out)
     dt = time.perf_counter() - t0
 
     poses_per_sec = bs * iters / dt

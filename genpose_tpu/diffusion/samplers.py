@@ -73,7 +73,7 @@ def ode_sampler(
 
     def ode_dx(x, t):
         drift, diffusion = sde.sde(t)
-        t_vec = jnp.full((batch_size, 1), t)
+        t_vec = jnp.full((1, 1), t)  # shared across the batch; broadcasts in the trunk
         return drift - 0.5 * (diffusion**2) * score_fn(x, t_vec)
 
     def step(x, t_pair):
@@ -103,7 +103,7 @@ def ode_sampler(
         # Reverse-diffusion predictor at eps (ref samplers.py:209-218).
         # Correct-sign backward step (x += (g^2 s - f) dt); the reference's
         # sign is flipped but at sigma(eps)=0.01 the term is ~1e-5 either way.
-        t_vec = jnp.full((batch_size, 1), eps)
+        t_vec = jnp.full((1, 1), eps)
         drift, diffusion = sde.sde(jnp.asarray(eps))
         grad = score_fn(x, t_vec)
         x = x + (diffusion**2 * grad - drift) * ((1.0 - eps) / num_steps)
@@ -160,7 +160,7 @@ def pc_sampler(
         x, _ = carry
         t, k = inp
         k1, k2 = jax.random.split(k)
-        t_vec = jnp.full((batch_size, 1), t)
+        t_vec = jnp.full((1, 1), t)  # shared across the batch
 
         # Corrector (Langevin MCMC)
         grad = score_fn(x, t_vec)

@@ -21,6 +21,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from genpose_tpu.models.layers import GaussianFourierProjection, zero_dense
+from genpose_tpu.models.scorenet import PoseTrunk
 from genpose_tpu.ops.pose import get_pose_dim
 
 
@@ -33,41 +34,23 @@ class PoseEnergyNet(nn.Module):
     norm_energy: str = "identical"
     dtype: jnp.dtype = jnp.float32
 
-    @nn.compact
+    def setup(self):
+        self.trunk = PoseTrunk(pose_mode=self.pose_mode,
+                               regression_head=self.regression_head,
+                               dtype=self.dtype, name="trunk")
+
+    def precompute(self, pts_feat):
+        return self.trunk.precompute(pts_feat)
+
     def __call__(self, pts_feat, sampled_pose, t, decoupled_rt: bool = True):
         """Returns the energy: [bs, 2] if decoupled IP, else [bs]."""
-        pose_dim = get_pose_dim(self.pose_mode)
+        return self.energy_from(self.precompute(pts_feat), sampled_pose, t,
+                                decoupled_rt=decoupled_rt)
 
-        t_feat = GaussianFourierProjection(embed_dim=128, name="t_fourier")(t[:, 0])
-        t_feat = nn.relu(nn.Dense(128, dtype=self.dtype, name="t_dense")(t_feat))
-        pose_feat = nn.relu(nn.Dense(256, dtype=self.dtype, name="pose_dense_0")(sampled_pose))
-        pose_feat = nn.relu(nn.Dense(256, dtype=self.dtype, name="pose_dense_1")(pose_feat))
-
-        total_feat = jnp.concatenate([pts_feat, t_feat, pose_feat], axis=-1)
+    def energy_from(self, projs, sampled_pose, t, decoupled_rt: bool = True):
+        f_theta = self.trunk.f_theta_from(projs, sampled_pose, t)
         _, std = self.marginal_prob_fn(None, t)
         std = jnp.reshape(std, (-1, 1))
-
-        if self.regression_head == "RT":
-            h = nn.relu(nn.Dense(512, dtype=self.dtype, name="tail_dense")(total_feat))
-            f_theta = zero_dense(pose_dim, name="tail_out", dtype=self.dtype)(h)
-        elif self.regression_head == "R_and_T":
-            hr = nn.relu(nn.Dense(256, dtype=self.dtype, name="tail_rot_dense")(total_feat))
-            rot = zero_dense(pose_dim - 3, name="tail_rot_out", dtype=self.dtype)(hr)
-            ht = nn.relu(nn.Dense(256, dtype=self.dtype, name="tail_trans_dense")(total_feat))
-            trans = zero_dense(3, name="tail_trans_out", dtype=self.dtype)(ht)
-            f_theta = jnp.concatenate([rot, trans], axis=-1)
-        elif self.regression_head == "Rx_Ry_and_T":
-            if self.pose_mode != "rot_matrix":
-                raise NotImplementedError
-            hx = nn.relu(nn.Dense(256, dtype=self.dtype, name="tail_rot_x_dense")(total_feat))
-            rot_x = zero_dense(3, name="tail_rot_x_out", dtype=self.dtype)(hx)
-            hy = nn.relu(nn.Dense(256, dtype=self.dtype, name="tail_rot_y_dense")(total_feat))
-            rot_y = zero_dense(3, name="tail_rot_y_out", dtype=self.dtype)(hy)
-            ht = nn.relu(nn.Dense(256, dtype=self.dtype, name="tail_trans_dense")(total_feat))
-            trans = zero_dense(3, name="tail_trans_out", dtype=self.dtype)(ht)
-            f_theta = jnp.concatenate([rot_x, rot_y, trans], axis=-1)
-        else:
-            raise NotImplementedError(self.regression_head)
 
         # s_theta (ref energynet.py:165-173)
         if self.s_theta_mode == "score":

@@ -101,6 +101,90 @@ class SharedMLP(nn.Module):
         return x
 
 
+class SplitTail(nn.Module):
+    """Fusion tail ``zero_dense(relu(Dense([pts_feat, dyn_feat])))`` with the
+    first Dense split into a static (pts_feat) and a dynamic part.
+
+    Mathematically identical to one Dense over the concat (the split just
+    partitions the kernel rows; the bias lives in the dynamic half), but it
+    lets samplers precompute the pts_feat projection ONCE and re-use it for
+    every ODE/SDE step — pts_feat is loop-invariant inside the sampling scan
+    and is 1024 of the 1408 input dims, so this removes ~73% of the
+    per-step tail FLOPs.  (XLA does not split a dot over a concat operand
+    across a scan boundary on its own.)
+    """
+
+    hidden: int
+    out_dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        self.feat_proj = nn.Dense(self.hidden, use_bias=False,
+                                  dtype=self.dtype, name="feat")
+        self.dyn_proj = nn.Dense(self.hidden, dtype=self.dtype, name="dyn")
+        self.out = zero_dense(self.out_dim, dtype=self.dtype, name="out")
+
+    def precompute(self, pts_feat):
+        return self.feat_proj(pts_feat)
+
+    def from_proj(self, fp, dyn_feat):
+        return self.out(nn.relu(fp + self.dyn_proj(dyn_feat)))
+
+    def __call__(self, pts_feat, dyn_feat):
+        return self.from_proj(self.precompute(pts_feat), dyn_feat)
+
+
+class FusedTails(nn.Module):
+    """K parallel SplitTail banks fused into single wide matmuls.
+
+    The sampler hot loop evaluates every tail each step; separate 256-wide
+    matmuls are latency-bound on the MXU, so the K tails' kernels are stored
+    as one [in, K*H] matrix (one matmul) and the K output heads as a banked
+    [K, H, O] einsum.  The dynamic input is further split into its t and
+    pose parts so a step-constant t row of shape [1, .] broadcasts instead
+    of being materialized per sample.  Mathematically identical to K
+    independent concat-Dense tails.
+    """
+
+    num_tails: int
+    hidden: int
+    out_dim: int
+    t_dim: int = 128
+    pose_feat_dim: int = 256
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        kh = self.num_tails * self.hidden
+        lecun = nn.initializers.lecun_normal()
+        self.feat_kernel = self.param(
+            "feat_kernel", lambda k, s: lecun(k, s), (1024, kh))
+        self.t_kernel = self.param(
+            "t_kernel", lambda k, s: lecun(k, s), (self.t_dim, kh))
+        self.pose_kernel = self.param(
+            "pose_kernel", lambda k, s: lecun(k, s), (self.pose_feat_dim, kh))
+        self.bias = self.param("bias", nn.initializers.zeros, (kh,))
+        # zero-init output bank: reference zeroes every tail's last layer
+        self.out_kernel = self.param(
+            "out_kernel", nn.initializers.zeros,
+            (self.num_tails, self.hidden, self.out_dim))
+        self.out_bias = self.param(
+            "out_bias", nn.initializers.zeros, (self.num_tails, self.out_dim))
+
+    def precompute(self, pts_feat):
+        return pts_feat @ self.feat_kernel.astype(self.dtype)
+
+    def from_proj(self, fp, t_feat, pose_feat):
+        """fp [N, K*H]; t_feat [1 or N, t_dim]; pose_feat [N, pose_feat_dim]."""
+        h = (fp + t_feat @ self.t_kernel.astype(self.dtype)
+             + pose_feat @ self.pose_kernel.astype(self.dtype)
+             + self.bias.astype(self.dtype))
+        h = nn.relu(h)
+        h = h.reshape(h.shape[0], self.num_tails, self.hidden)
+        out = jnp.einsum("nkh,kho->nko", h, self.out_kernel.astype(self.dtype))
+        out = out + self.out_bias.astype(self.dtype)
+        return out.reshape(out.shape[0], self.num_tails * self.out_dim)
+
+
 class MLP(nn.Module):
     """Dense->ReLU stack (no norm) used by the pose / time encoders."""
 

@@ -99,19 +99,25 @@ class PointnetSAModuleMSG(nn.Module):
         else:
             new_xyz = None
 
+        # one gather per radius: xyz and features are concatenated first so
+        # grouping moves a single [B, N, 3+C] source (halves gather count
+        # and gives the Pallas matmul-gather a wide row to chew on)
+        src = (jnp.concatenate([xyz, features], axis=-1)
+               if features is not None else xyz)
+
         outs = []
         for i, (radius, nsample, mlp) in enumerate(
             zip(self.radii, self.nsamples, self.mlps)
         ):
             if self.npoint is not None:
                 gidx = ball_query(radius, nsample, xyz, new_xyz)
-                grouped_xyz = group_points(xyz, gidx) - new_xyz[:, :, None, :]
+                grouped = group_points(src, gidx)
+                grouped_xyz = grouped[..., :3] - new_xyz[:, :, None, :]
                 if features is not None:
-                    grouped_feats = group_points(features, gidx)
                     g = (
-                        jnp.concatenate([grouped_xyz, grouped_feats], axis=-1)
+                        jnp.concatenate([grouped_xyz, grouped[..., 3:]], axis=-1)
                         if self.use_xyz
-                        else grouped_feats
+                        else grouped[..., 3:]
                     )
                 else:
                     g = grouped_xyz  # [B, npoint, nsample, 3]

@@ -103,6 +103,20 @@ class GFObjectPose(nn.Module):
         assert self.posenet_mode == "energy"
         return self.head(pts_feat, sampled_pose, t, decoupled_rt=decoupled_rt)
 
+    def precompute_head(self, pts_feat):
+        """Loop-invariant tail projections of pts_feat — compute once per
+        sampler call, pass to ``score_with``/``energy_with`` every step."""
+        return self.head.precompute(pts_feat)
+
+    def score_with(self, projs, sampled_pose, t):
+        assert self.posenet_mode == "score"
+        return self.head.score_from(projs, sampled_pose, t)
+
+    def energy_with(self, projs, sampled_pose, t, decoupled_rt: bool = True):
+        assert self.posenet_mode == "energy"
+        return self.head.energy_from(projs, sampled_pose, t,
+                                     decoupled_rt=decoupled_rt)
+
     def __call__(self, pts, sampled_pose, t, train: bool = False):
         """Init/forward convenience: encode + head (used for variable init)."""
         pts_feat = self.encode_pts(pts, train=train)

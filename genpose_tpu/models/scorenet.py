@@ -18,11 +18,89 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from genpose_tpu.models.layers import (
+    FusedTails,
     GaussianFourierProjection,
     PositionalEmbedding,
+    SplitTail,
     zero_dense,
 )
 from genpose_tpu.ops.pose import get_pose_dim
+
+
+def _tail_specs(regression_head: str, pose_dim: int):
+    """(name, hidden, out_dim) per fusion tail (ref ``scorenet.py:118-176``)."""
+    if regression_head == "RT":
+        return (("tail", 512, pose_dim),)
+    if regression_head == "R_and_T":
+        return (("tail_rot", 256, pose_dim - 3), ("tail_trans", 256, 3))
+    if regression_head == "Rx_Ry_and_T":
+        return (("tail_rot_x", 256, 3), ("tail_rot_y", 256, 3),
+                ("tail_trans", 256, 3))
+    raise NotImplementedError(regression_head)
+
+
+class PoseTrunk(nn.Module):
+    """Shared (t, pose) conditioning trunk + split fusion tails.
+
+    Used by both the score and energy heads; exposes ``precompute`` so
+    samplers can hoist the pts_feat projections out of their step scan
+    (see ``SplitTail``).
+    """
+
+    pose_mode: str = "rot_matrix"
+    regression_head: str = "Rx_Ry_and_T"
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        pose_dim = get_pose_dim(self.pose_mode)
+        if self.regression_head == "Rx_Ry_and_T" and self.pose_mode != "rot_matrix":
+            raise NotImplementedError("Rx_Ry_and_T requires rot_matrix pose mode")
+        self.t_fourier = GaussianFourierProjection(embed_dim=128, name="t_fourier")
+        self.t_dense = nn.Dense(128, dtype=self.dtype, name="t_dense")
+        self.pose_dense_0 = nn.Dense(256, dtype=self.dtype, name="pose_dense_0")
+        self.pose_dense_1 = nn.Dense(256, dtype=self.dtype, name="pose_dense_1")
+        specs = _tail_specs(self.regression_head, pose_dim)
+        # identical tail shapes -> one fused bank (single wide matmul per
+        # step); otherwise a list of split tails (R_and_T's 6/3 outputs)
+        if len({(h, o) for _, h, o in specs}) == 1:
+            self.tails = FusedTails(
+                num_tails=len(specs), hidden=specs[0][1], out_dim=specs[0][2],
+                dtype=self.dtype, name="tails")
+        else:
+            self.tails = [
+                SplitTail(hidden, out_dim, dtype=self.dtype, name=name)
+                for name, hidden, out_dim in specs
+            ]
+
+    def precompute(self, pts_feat):
+        """Loop-invariant tail projections of pts_feat."""
+        if isinstance(self.tails, FusedTails):
+            return self.tails.precompute(pts_feat)
+        return tuple(tail.precompute(pts_feat) for tail in self.tails)
+
+    def f_theta_from(self, projs, sampled_pose, t):
+        """Head output given precomputed projections.
+
+        t may be [N, 1] (training/energy) or [1, 1] (samplers — t is shared
+        across the batch within one step and broadcasts through the fused
+        bank instead of being recomputed per row).
+        """
+        t_feat = nn.relu(self.t_dense(self.t_fourier(t[:, 0])))
+        pose_feat = nn.relu(self.pose_dense_0(sampled_pose))
+        pose_feat = nn.relu(self.pose_dense_1(pose_feat))
+        if isinstance(self.tails, FusedTails):
+            return self.tails.from_proj(projs, t_feat, pose_feat)
+        if t_feat.shape[0] != pose_feat.shape[0]:
+            t_feat = jnp.broadcast_to(
+                t_feat, (pose_feat.shape[0], t_feat.shape[1]))
+        dyn_feat = jnp.concatenate([t_feat, pose_feat], axis=-1)
+        return jnp.concatenate(
+            [tail.from_proj(fp, dyn_feat) for tail, fp in zip(self.tails, projs)],
+            axis=-1,
+        )
+
+    def __call__(self, pts_feat, sampled_pose, t):
+        return self.f_theta_from(self.precompute(pts_feat), sampled_pose, t)
 
 
 class PoseScoreNet(nn.Module):
@@ -31,44 +109,22 @@ class PoseScoreNet(nn.Module):
     regression_head: str = "Rx_Ry_and_T"
     dtype: jnp.dtype = jnp.float32
 
-    @nn.compact
-    def __call__(self, pts_feat, sampled_pose, t):
-        """pts_feat [bs, 1024]; sampled_pose [bs, pose_dim]; t [bs, 1] -> score."""
-        pose_dim = get_pose_dim(self.pose_mode)
+    def setup(self):
+        self.trunk = PoseTrunk(pose_mode=self.pose_mode,
+                               regression_head=self.regression_head,
+                               dtype=self.dtype, name="trunk")
 
-        t_feat = GaussianFourierProjection(embed_dim=128, name="t_fourier")(t[:, 0])
-        t_feat = nn.relu(nn.Dense(128, dtype=self.dtype, name="t_dense")(t_feat))
+    def precompute(self, pts_feat):
+        return self.trunk.precompute(pts_feat)
 
-        pose_feat = nn.relu(nn.Dense(256, dtype=self.dtype, name="pose_dense_0")(sampled_pose))
-        pose_feat = nn.relu(nn.Dense(256, dtype=self.dtype, name="pose_dense_1")(pose_feat))
-
-        total_feat = jnp.concatenate([pts_feat, t_feat, pose_feat], axis=-1)
+    def score_from(self, projs, sampled_pose, t):
         _, std = self.marginal_prob_fn(None, t)
         std = jnp.reshape(std, (-1, 1))
+        return self.trunk.f_theta_from(projs, sampled_pose, t) / (std + 1e-7)
 
-        if self.regression_head == "RT":
-            h = nn.relu(nn.Dense(512, dtype=self.dtype, name="tail_dense")(total_feat))
-            out = zero_dense(pose_dim, name="tail_out", dtype=self.dtype)(h)
-        elif self.regression_head == "R_and_T":
-            hr = nn.relu(nn.Dense(256, dtype=self.dtype, name="tail_rot_dense")(total_feat))
-            rot = zero_dense(pose_dim - 3, name="tail_rot_out", dtype=self.dtype)(hr)
-            ht = nn.relu(nn.Dense(256, dtype=self.dtype, name="tail_trans_dense")(total_feat))
-            trans = zero_dense(3, name="tail_trans_out", dtype=self.dtype)(ht)
-            out = jnp.concatenate([rot, trans], axis=-1)
-        elif self.regression_head == "Rx_Ry_and_T":
-            if self.pose_mode != "rot_matrix":
-                raise NotImplementedError("Rx_Ry_and_T requires rot_matrix pose mode")
-            hx = nn.relu(nn.Dense(256, dtype=self.dtype, name="tail_rot_x_dense")(total_feat))
-            rot_x = zero_dense(3, name="tail_rot_x_out", dtype=self.dtype)(hx)
-            hy = nn.relu(nn.Dense(256, dtype=self.dtype, name="tail_rot_y_dense")(total_feat))
-            rot_y = zero_dense(3, name="tail_rot_y_out", dtype=self.dtype)(hy)
-            ht = nn.relu(nn.Dense(256, dtype=self.dtype, name="tail_trans_dense")(total_feat))
-            trans = zero_dense(3, name="tail_trans_out", dtype=self.dtype)(ht)
-            out = jnp.concatenate([rot_x, rot_y, trans], axis=-1)
-        else:
-            raise NotImplementedError(self.regression_head)
-
-        return out / (std + 1e-7)
+    def __call__(self, pts_feat, sampled_pose, t):
+        """pts_feat [bs, 1024]; sampled_pose [bs, pose_dim]; t [bs, 1] -> score."""
+        return self.score_from(self.precompute(pts_feat), sampled_pose, t)
 
 
 class PoseDecoderNet(nn.Module):

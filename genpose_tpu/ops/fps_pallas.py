@@ -5,17 +5,18 @@ FPS is the one genuinely sequential op in the encoder (reference CUDA:
 (update running min-distance to the selected set, full-N argmax).
 
 TPU design:
-- grid over the batch; each program owns one cloud.
-- coordinates live in VMEM as three ``(8, N/8)`` planes so each distance
-  update is a handful of full-width VPU ops (8x128 lanes).
-- the running min-distance vector stays in VMEM registers across all rounds
-  (carried through ``lax.fori_loop``), so the only HBM traffic is the initial
-  coordinate load and the final index store.
-- selected indices are accumulated in a carried vector register and written
-  once at the end — no per-round dynamic stores.
+- the sequential axis is the m rounds ONLY.  The whole batch advances
+  together each round: coordinates and the running min-distance live as
+  ``(B_tile, N)`` VMEM tiles (batch on sublanes, points on lanes), so one
+  round is a handful of full-width VPU ops + per-row (lane-axis) reductions
+  for every cloud at once.  A per-cloud grid would serialize B*m rounds on
+  the single TensorCore (~64x slower at B=64, measured).
+- grid tiles the batch only when it exceeds ``_B_TILE`` rows of VMEM budget.
+- selected indices accumulate in a carried ``(B_tile, m)`` register block and
+  are written once at the end — no per-round dynamic stores.
 
-Padded tail points (N not a multiple of 8*128) are initialized to -inf
-min-distance so the argmax never selects them.
+Padded tail points (N < lane multiple) get -inf min-distance so the argmax
+never selects them; padded batch rows compute garbage that is sliced away.
 """
 
 from __future__ import annotations
@@ -29,74 +30,75 @@ from jax.experimental.pallas import tpu as pltpu
 
 _LANES = 128
 _SUBLANES = 8
+# 6 (B,N) f32 tiles live at once (xyz, mind, scratch); 256 rows x 4096 pts
+# x 4B x 6 = 25MB > VMEM, so the tile also shrinks with N at call time.
+_B_TILE = 256
 
 
 def _fps_kernel(x_ref, y_ref, z_ref, out_ref, *, n_valid: int, npoint: int,
                 m_pad: int):
-    x = x_ref[0]  # (8, C)
-    y = y_ref[0]
-    z = z_ref[0]
-    rows, cols = x.shape
+    x = x_ref[...]  # (B_tile, N_pad)
+    y = y_ref[...]
+    z = z_ref[...]
+    bt, n_pad = x.shape
 
-    row_ids = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 0)
-    col_ids = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 1)
-    # Linear point index: planes are row-major reshapes of the N axis.
-    lin = row_ids * cols + col_ids
-    valid = lin < n_valid
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (bt, n_pad), 1)
+    valid = col_ids < n_valid
 
     mind0 = jnp.where(valid, jnp.float32(1e10), -jnp.inf)
-
-    slot_ids = jax.lax.broadcasted_iota(jnp.int32, (1, m_pad), 1)
-    sel0 = jnp.zeros((1, m_pad), jnp.int32)  # idxs[0] = 0 (sampling_gpu.cu:115)
+    slot_ids = jax.lax.broadcasted_iota(jnp.int32, (bt, m_pad), 1)
+    sel0 = jnp.zeros((bt, m_pad), jnp.int32)  # idxs[:,0]=0 (sampling_gpu.cu:115)
 
     def body(j, carry):
-        mind, old, sel = carry
-        onehot = lin == old
-        xo = jnp.sum(jnp.where(onehot, x, 0.0))
-        yo = jnp.sum(jnp.where(onehot, y, 0.0))
-        zo = jnp.sum(jnp.where(onehot, z, 0.0))
+        mind, old, sel = carry  # old: (bt, 1) current point per row
+        onehot = col_ids == old
+        xo = jnp.sum(jnp.where(onehot, x, 0.0), axis=1, keepdims=True)
+        yo = jnp.sum(jnp.where(onehot, y, 0.0), axis=1, keepdims=True)
+        zo = jnp.sum(jnp.where(onehot, z, 0.0), axis=1, keepdims=True)
         d = (x - xo) ** 2 + (y - yo) ** 2 + (z - zo) ** 2
         mind = jnp.minimum(mind, d)
-        # argmax over the (8, C) plane -> linear point index
-        best = jnp.max(mind)
+        best = jnp.max(mind, axis=1, keepdims=True)
         is_best = jnp.logical_and(mind == best, valid)
-        # first linear index attaining the max (matches jnp.argmax tie rule)
-        new_old = jnp.min(jnp.where(is_best, lin, jnp.int32(2**30)))
+        # first column attaining the max (matches jnp.argmax tie rule)
+        new_old = jnp.min(jnp.where(is_best, col_ids, jnp.int32(2**30)),
+                          axis=1, keepdims=True)
         sel = jnp.where(slot_ids == j, new_old, sel)
         return mind, new_old, sel
 
     _, _, sel = jax.lax.fori_loop(
-        1, npoint, body, (mind0, jnp.int32(0), sel0)
+        1, npoint, body, (mind0, jnp.zeros((bt, 1), jnp.int32), sel0)
     )
-    out_ref[0, 0] = sel[0]
+    out_ref[...] = sel
 
 
 @functools.partial(jax.jit, static_argnums=(1,))
 def fps_pallas(xyz: jnp.ndarray, npoint: int) -> jnp.ndarray:
     """Furthest point sampling.  xyz: [B, N, 3] float32 -> idx [B, npoint] int32."""
     B, N, _ = xyz.shape
-    chunk = _SUBLANES * _LANES
-    n_pad = ((N + chunk - 1) // chunk) * chunk
-    cols = n_pad // _SUBLANES
-
+    n_pad = ((N + _LANES - 1) // _LANES) * _LANES
     m_pad = ((npoint + _LANES - 1) // _LANES) * _LANES
 
-    xyz = xyz.astype(jnp.float32)
-    pad = ((0, 0), (0, n_pad - N), (0, 0))
-    xyz_p = jnp.pad(xyz, pad)
-    planes = jnp.moveaxis(xyz_p, -1, 1).reshape(B, 3, _SUBLANES, cols)
-    x, y, z = planes[:, 0], planes[:, 1], planes[:, 2]
+    # keep ~6 (b_tile, n_pad) f32 tiles under a ~8MB VMEM budget
+    b_tile = max(_SUBLANES, min(_B_TILE, (8 << 20) // (6 * 4 * n_pad)
+                                // _SUBLANES * _SUBLANES))
+    b_pad = ((B + b_tile - 1) // b_tile) * b_tile
 
-    kernel = functools.partial(_fps_kernel, n_valid=N, npoint=npoint, m_pad=m_pad)
-    plane_spec = pl.BlockSpec((1, _SUBLANES, cols), lambda b: (b, 0, 0),
+    xyz = xyz.astype(jnp.float32)
+    xyz_p = jnp.pad(xyz, ((0, b_pad - B), (0, n_pad - N), (0, 0)))
+    planes = jnp.moveaxis(xyz_p, -1, 0)  # (3, b_pad, n_pad)
+    x, y, z = planes[0], planes[1], planes[2]
+
+    kernel = functools.partial(_fps_kernel, n_valid=N, npoint=npoint,
+                               m_pad=m_pad)
+    plane_spec = pl.BlockSpec((b_tile, n_pad), lambda b: (b, 0),
                               memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         kernel,
-        grid=(B,),
+        grid=(b_pad // b_tile,),
         in_specs=[plane_spec, plane_spec, plane_spec],
-        out_specs=pl.BlockSpec((1, 1, m_pad), lambda b: (b, 0, 0),
+        out_specs=pl.BlockSpec((b_tile, m_pad), lambda b: (b, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, 1, m_pad), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((b_pad, m_pad), jnp.int32),
         interpret=jax.default_backend() != "tpu",
     )(x, y, z)
-    return out[:, 0, :npoint]
+    return out[:B, :npoint]

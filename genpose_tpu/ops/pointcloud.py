@@ -75,18 +75,30 @@ def farthest_point_sample(xyz: jnp.ndarray, npoint: int) -> jnp.ndarray:
 # Gather / group (plain XLA gathers; autodiff provides the scatter-add bwd)
 # ---------------------------------------------------------------------------
 
-def gather_points(points: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
-    """points [B, N, C], idx [B, M] -> [B, M, C] (ref ``sampling_gpu.cu:8-24``)."""
+def _row_gather(points: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """[B, N, C] gathered along axis 1 by [B, M] -> [B, M, C].
+
+    On TPU, XLA lowers take_along_axis to serial dynamic-slices (~100x off
+    HBM bandwidth, measured); dispatch to the Pallas one-hot-matmul gather
+    whenever the source fits its VMEM budget.
+    """
+    from genpose_tpu.ops.gather_pallas import gather_pallas, gather_supported
+
+    if jax.default_backend() == "tpu" and gather_supported(points):
+        return gather_pallas(points, idx)
     return jnp.take_along_axis(points, idx[..., None].astype(jnp.int32), axis=1,
                                mode="promise_in_bounds")
+
+
+def gather_points(points: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """points [B, N, C], idx [B, M] -> [B, M, C] (ref ``sampling_gpu.cu:8-24``)."""
+    return _row_gather(points, idx)
 
 
 def group_points(points: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     """points [B, N, C], idx [B, M, S] -> [B, M, S, C] (ref ``group_points_gpu.cu:47-86``)."""
     B, M, S = idx.shape
-    flat = idx.reshape(B, M * S)
-    out = jnp.take_along_axis(points, flat[..., None].astype(jnp.int32), axis=1,
-                              mode="promise_in_bounds")
+    out = _row_gather(points, idx.reshape(B, M * S))
     return out.reshape(B, M, S, points.shape[-1])
 
 

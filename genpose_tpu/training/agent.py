@@ -135,17 +135,22 @@ class PoseAgent:
 
     def _head_score_fn(self, params, batch_stats, feat):
         variables = {"params": params, "batch_stats": batch_stats}
+        # hoist the pts_feat tail projections: computed once here, reused by
+        # every sampler step (pts_feat is loop-invariant inside the scan)
+        projs = self.model.apply(variables, feat,
+                                 method=GFObjectPose.precompute_head)
         if self.mode == "score":
 
             def score_fn(pose, t):
-                return self.model.apply(variables, feat, pose, t,
-                                        method=GFObjectPose.score)
+                return self.model.apply(variables, projs, pose, t,
+                                        method=GFObjectPose.score_with)
         else:
 
             def score_fn(pose, t):
                 def e_sum(p):
-                    e = self.model.apply(variables, feat, p, t, decoupled_rt=False,
-                                         method=GFObjectPose.energy)
+                    e = self.model.apply(variables, projs, p, t,
+                                         decoupled_rt=False,
+                                         method=GFObjectPose.energy_with)
                     return jnp.sum(e)
 
                 return jax.grad(e_sum)(pose)
@@ -154,10 +159,13 @@ class PoseAgent:
 
     def _head_energy_fn(self, params, batch_stats, feat):
         variables = {"params": params, "batch_stats": batch_stats}
+        projs = self.model.apply(variables, feat,
+                                 method=GFObjectPose.precompute_head)
 
         def energy_fn(pose, t):
-            return self.model.apply(variables, feat, pose, t, decoupled_rt=True,
-                                    method=GFObjectPose.energy)
+            return self.model.apply(variables, projs, pose, t,
+                                    decoupled_rt=True,
+                                    method=GFObjectPose.energy_with)
 
         return energy_fn
 

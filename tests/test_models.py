@@ -57,9 +57,11 @@ def test_scorenet_std_normalization():
     key = jax.random.PRNGKey(1)
     variables = net.init(key, jnp.zeros((2, 1024)), jnp.zeros((2, 9)),
                          jnp.full((2, 1), 0.5))
-    # overwrite a tail output kernel so output is nonzero
+    # overwrite the trans tail's output bias so output is nonzero
+    # (fused bank: tail order is rot_x, rot_y, trans)
     params = jax.tree_util.tree_map(lambda p: p, variables["params"])
-    params["tail_trans_out"]["bias"] = jnp.ones(3)
+    params["trunk"]["tails"]["out_bias"] = (
+        params["trunk"]["tails"]["out_bias"].at[2].set(jnp.ones(3)))
     pts_feat = jnp.zeros((2, 1024))
     pose = jnp.zeros((2, 9))
     for tval in (0.2, 0.8):
