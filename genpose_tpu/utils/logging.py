@@ -14,6 +14,22 @@ import time
 from typing import Dict, Optional
 
 
+def setup_logger(logger_name: str, log_file: str, level=None):
+    """File + stream logger (ref ``sgpa_utils.py:54-64``)."""
+    import logging
+
+    logger = logging.getLogger(logger_name)
+    formatter = logging.Formatter("%(asctime)s : %(message)s")
+    fh = logging.FileHandler(log_file, mode="a")
+    fh.setFormatter(formatter)
+    logger.setLevel(level if level is not None else logging.INFO)
+    logger.addHandler(fh)
+    sh = logging.StreamHandler()
+    sh.setFormatter(formatter)
+    logger.addHandler(sh)
+    return logger
+
+
 class TrainClock:
     """Epoch/minibatch/step counter (ref ``genpose_utils.py:70-96``)."""
 

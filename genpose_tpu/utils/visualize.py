@@ -206,6 +206,86 @@ def test_time_visualize(save_path, data, res, in_process_sample,
                inverse_pose=o2c_pose)
 
 
+def standardize_bbox(pcl: np.ndarray, points_per_object: int,
+                     rng: Optional[np.random.Generator] = None) -> np.ndarray:
+    """Subsample + normalize a cloud into [-0.5, 0.5]^3
+    (ref ``visualize.py:391-404``)."""
+    rng = rng or np.random.default_rng(0)
+    if pcl.shape[0] > points_per_object:
+        pcl = pcl[rng.choice(pcl.shape[0], points_per_object, replace=False)]
+    mins, maxs = pcl.min(axis=0), pcl.max(axis=0)
+    center = (mins + maxs) / 2.0
+    scale = (maxs - mins).max()
+    return ((pcl - center) / scale).astype(np.float32)
+
+
+def generate_xml_for_mitsuba(
+    pts: np.ndarray,
+    save_path: Optional[str] = None,
+    image_size=(640, 360),
+    fov: float = 20.0,
+    camera=("3,3,3", "0,0,0", "0,0,1"),
+    light=("-4,4,20", "0,0,0", "0,0,1"),
+    sphere_radius: float = 0.025,
+    points_per_object: int = 2048,
+) -> str:
+    """Mitsuba scene XML rendering a point cloud as shaded spheres
+    (ref ``visualize.py:383-520``): path-traced perspective camera, one
+    sphere per point colored by normalized position, ground plane + area
+    light.  Returns the XML string; writes it when ``save_path`` given."""
+    pcl = standardize_bbox(np.asarray(pts)[:, :3], points_per_object)
+    head = f"""<scene version="0.6.0">
+    <integrator type="path"><integer name="maxDepth" value="-1"/></integrator>
+    <sensor type="perspective">
+        <float name="farClip" value="100"/>
+        <float name="nearClip" value="0.1"/>
+        <transform name="toWorld">
+            <lookat origin="{camera[0]}" target="{camera[1]}" up="{camera[2]}"/>
+        </transform>
+        <float name="fov" value="{fov}"/>
+        <sampler type="ldsampler"><integer name="sampleCount" value="256"/></sampler>
+        <film type="hdrfilm">
+            <integer name="width" value="{image_size[0]}"/>
+            <integer name="height" value="{image_size[1]}"/>
+            <rfilter type="gaussian"/>
+            <boolean name="banner" value="false"/>
+        </film>
+    </sensor>
+    <bsdf type="roughplastic" id="surfaceMaterial">
+        <string name="distribution" value="ggx"/>
+        <float name="alpha" value="0.05"/>
+        <float name="intIOR" value="1.46"/>
+        <rgb name="diffuseReflectance" value="1,1,1"/>
+    </bsdf>
+"""
+    balls = []
+    for x, y, z in pcl:
+        c = np.clip([x + 0.5, y + 0.5, z + 0.5 - 0.0125], 0.001, 1.0)
+        c = c / np.linalg.norm(c)
+        balls.append(
+            f'    <shape type="sphere"><float name="radius" value="{sphere_radius}"/>'
+            f'<transform name="toWorld"><translate x="{x}" y="{y}" z="{z}"/></transform>'
+            f'<bsdf type="diffuse"><rgb name="reflectance" value="{c[0]},{c[1]},{c[2]}"/></bsdf></shape>\n')
+    tail = f"""    <shape type="rectangle">
+        <ref name="bsdf" id="surfaceMaterial"/>
+        <transform name="toWorld"><scale x="100" y="100" z="1"/><translate x="0" y="0" z="-0.2"/></transform>
+    </shape>
+    <shape type="rectangle">
+        <transform name="toWorld">
+            <scale x="10" y="10" z="1"/>
+            <lookat origin="{light[0]}" target="{light[1]}" up="{light[2]}"/>
+        </transform>
+        <emitter type="area"><rgb name="radiance" value="6,6,6"/></emitter>
+    </shape>
+</scene>
+"""
+    xml = head + "".join(balls) + tail
+    if save_path:
+        with open(save_path, "w") as f:
+            f.write(xml)
+    return xml
+
+
 def so3_visualization(pred_rot, energy=None, gt_rot=None,
                       save_path="./so3_distribution.png"):
     """Energy-weighted SO(3) scatter (ref ``visualize.py:355-380``)."""
