@@ -80,8 +80,11 @@ def _visualize_eval(cfg: Config, logger: MetricsLogger, batch, pred, process,
 
 
 def train_score(cfg: Config, train_loader, val_loader, agent: PoseAgent,
-                mesh=None):
-    """Score (or ranking-free energy) training loop (ref ``trainer.py:266-322``)."""
+                mesh=None, teacher: Optional[PoseAgent] = None):
+    """Score (or ranking-free energy) training loop (ref ``trainer.py:266-322``).
+
+    With ``teacher`` given, the DSM target is the frozen teacher's score
+    (distillation, ref ``trainer.py:406-419``)."""
     ckpt_dir, log_dir = _results_dirs(cfg)
     logger = MetricsLogger(log_dir)
     clock = agent.clock = getattr(agent, "clock", TrainClock())
@@ -93,7 +96,9 @@ def train_score(cfg: Config, train_loader, val_loader, agent: PoseAgent,
             key, k_aug, k_loss, k_ema = jax.random.split(key, 4)
             batch = process_batch(raw, cfg.pose_mode, k_aug, cfg.pts_aug)
             batch = shard_batch(mesh, batch)
-            losses = agent.train_step(batch, k_loss)
+            losses = (agent.train_step_distill(teacher, batch, k_loss)
+                      if teacher is not None
+                      else agent.train_step(batch, k_loss))
             clock.tick()
             if clock.step % 50 == 0:
                 logger.scalars({k: float(v) for k, v in losses.items()},
@@ -144,7 +149,8 @@ def train_energy(cfg: Config, train_loader, val_loader, energy_agent: PoseAgent,
     """Energy training (ref ``trainer.py:325-388``).  With ranking, a frozen
     score agent generates K=5 candidates per batch online."""
     if not ranking:
-        return train_score(cfg, train_loader, val_loader, energy_agent, mesh)
+        return train_score(cfg, train_loader, val_loader, energy_agent, mesh,
+                           teacher=score_agent)
 
     ckpt_dir, log_dir = _results_dirs(cfg)
     logger = MetricsLogger(log_dir)
@@ -378,8 +384,17 @@ def main(argv=None):
         score_agent = tr_agent
     elif cfg.agent_type == "energy":
         tr_agent = PoseAgent(cfg, "energy", steps_per_epoch, mesh)
+        score_agent = None
         if cfg.pretrained_score_model_path:
+            # warm-start the energy trunk from the score net, then re-zero
+            # its output layers (ref trainer.py:425-426)
             _load_pretrained(tr_agent, cfg.pretrained_score_model_path)
+            tr_agent.zero_head_outputs()
+        if cfg.distillation:
+            assert cfg.pretrained_score_model_path, \
+                "--distillation requires --pretrained_score_model_path"
+            score_agent = PoseAgent(cfg, "score", steps_per_epoch, mesh)
+            _load_pretrained(score_agent, cfg.pretrained_score_model_path)
     elif cfg.agent_type == "energy_with_ranking":
         score_agent = PoseAgent(cfg, "score", steps_per_epoch, mesh)
         tr_agent = PoseAgent(cfg, "energy", steps_per_epoch, mesh)
@@ -421,7 +436,8 @@ def main(argv=None):
     if cfg.agent_type == "score":
         train_score(cfg, train_loader, val_loader, tr_agent, mesh)
     elif cfg.agent_type == "energy":
-        train_energy(cfg, train_loader, val_loader, tr_agent, None, False, mesh)
+        train_energy(cfg, train_loader, val_loader, tr_agent,
+                     score_agent if cfg.distillation else None, False, mesh)
     else:
         train_energy(cfg, train_loader, val_loader, tr_agent, score_agent, True,
                      mesh)

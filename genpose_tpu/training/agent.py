@@ -209,6 +209,61 @@ class PoseAgent:
         self.state, losses = self._train_step_score(self.state, batch, key)
         return losses
 
+    def train_step_distill(self, teacher: "PoseAgent", batch, key):
+        """DSM step against a frozen teacher's score instead of -z/std
+        (ref ``losses.py:79-82``, ``trainer.py:406-419``)."""
+        if not hasattr(self, "_train_step_distill"):
+
+            @jax.jit
+            def step(state, t_state, batch, key):
+                def loss_fn(params):
+                    feat, new_stats = self._encode_and_score_fn(
+                        params, state.batch_stats, batch["zero_mean_pts"],
+                        train=True)
+                    score_fn = self._head_score_fn(params, new_stats, feat)
+                    t_feat, _ = teacher._encode_and_score_fn(
+                        t_state.ema.shadow, t_state.batch_stats,
+                        batch["zero_mean_pts"], train=False)
+                    teacher_fn = teacher._head_score_fn(
+                        t_state.ema.shadow, t_state.batch_stats, t_feat)
+                    loss = dsm_loss_repeated(
+                        score_fn, key, batch["zero_mean_gt_pose"], self.sde,
+                        self.cfg.repeat_num, teacher_score_fn=teacher_fn)
+                    return loss, new_stats
+
+                (loss, new_stats), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True)(state.params)
+                state = state.apply_gradients(grads, new_batch_stats=new_stats)
+                return state, {"gf": loss}
+
+            self._train_step_distill = step
+        self.state, losses = self._train_step_distill(
+            self.state, teacher.state, batch, key)
+        return losses
+
+    def zero_head_outputs(self):
+        """Re-zero the tail output layers after loading score weights into an
+        energy net (ref ``posenet_agent.py`` via ``output_zero_initial``,
+        ``trainer.py:426``)."""
+        # tree_map rebuilds the dict containers, so in-place edits below
+        # cannot alias the old state
+        params = jax.tree_util.tree_map(lambda x: x, self.state.params)
+        trunk = params["head"]["trunk"] if "head" in params else params["trunk"]
+        if "tails" in trunk:  # fused bank
+            trunk["tails"]["out_kernel"] = jnp.zeros_like(
+                trunk["tails"]["out_kernel"])
+            trunk["tails"]["out_bias"] = jnp.zeros_like(
+                trunk["tails"]["out_bias"])
+        else:
+            for k in trunk:
+                if k.startswith("tail") and "out" in trunk[k]:
+                    trunk[k]["out"]["kernel"] = jnp.zeros_like(
+                        trunk[k]["out"]["kernel"])
+                    trunk[k]["out"]["bias"] = jnp.zeros_like(
+                        trunk[k]["out"]["bias"])
+        self.state = self.state.replace(
+            params=params, ema=self.state.ema.replace(shadow=params))
+
     def ema_loss(self, batch, key) -> jnp.ndarray:
         return self._ema_loss(self.state, batch, key)
 

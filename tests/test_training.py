@@ -187,3 +187,37 @@ def test_sharded_train_step():
     pred = agent.sample(batch, jax.random.PRNGKey(15), repeat_num=2,
                         sampler="ode", num_steps=6)
     assert pred.shape == (8, 2, 9)
+
+
+def test_distillation_step_and_zero_head():
+    """Energy net warm-started from score weights, outputs re-zeroed, then a
+    distillation DSM step against the frozen teacher (ref trainer.py:406-426)."""
+    from genpose_tpu.training.agent import PoseAgent
+
+    cfg = _tiny_cfg()
+    teacher = PoseAgent(cfg, posenet_mode="score", steps_per_epoch=4, seed=0)
+    # a fresh score net outputs score=0 (zero-init tails); perturb the
+    # teacher so the distillation target is nonzero
+    leaves, td = jax.tree_util.tree_flatten(teacher.state.params)
+    keys = jax.random.split(jax.random.PRNGKey(7), len(leaves))
+    tparams = jax.tree_util.tree_unflatten(
+        td, [l + 0.05 * jax.random.normal(k, l.shape, l.dtype)
+             for l, k in zip(leaves, keys)])
+    teacher.state = teacher.state.replace(
+        params=tparams, ema=teacher.state.ema.replace(shadow=tparams))
+    student = PoseAgent(cfg, posenet_mode="energy", steps_per_epoch=4, seed=1)
+
+    # score params load into the energy tree (identical trunk structure)
+    student.state = student.state.replace(params=jax.tree_util.tree_map(
+        lambda s, t: t, student.state.params, teacher.state.params))
+    student.zero_head_outputs()
+    tails = student.state.params["head"]["trunk"]["tails"]
+    assert float(jnp.abs(tails["out_kernel"]).max()) == 0.0
+
+    batch = _make_batch(cfg, jax.random.PRNGKey(3))
+    l0 = student.train_step_distill(teacher, batch, jax.random.PRNGKey(4))
+    assert np.isfinite(float(l0["gf"]))
+    for _ in range(3):
+        l = student.train_step_distill(teacher, batch, jax.random.PRNGKey(5))
+    # student moves toward the teacher score -> loss shrinks on a fixed batch
+    assert float(l["gf"]) < float(l0["gf"])
