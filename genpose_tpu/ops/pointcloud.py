@@ -78,16 +78,34 @@ def farthest_point_sample(xyz: jnp.ndarray, npoint: int) -> jnp.ndarray:
 def _row_gather(points: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     """[B, N, C] gathered along axis 1 by [B, M] -> [B, M, C].
 
-    On TPU, XLA lowers take_along_axis to serial dynamic-slices (~100x off
-    HBM bandwidth, measured); dispatch to the Pallas one-hot-matmul gather
-    whenever the source fits its VMEM budget.
+    On TPU the gather is a one-hot einsum: XLA fuses ``one_hot`` into the
+    dot (no [B, M, N] materialization) and it rides the MXU.  Measured on
+    v5e at B=64 vs take_along_axis: 1.4 vs 8.5 ms (N=1024/C=3/M=24576),
+    2.6 vs 7.2 (512/99/12288), 3.7 vs 3.9 (256/259/6144).  HIGHEST
+    precision makes it bit-exact for f32 (0/1 rows select values), and
+    autodiff gives the transposed-einsum scatter-add backward for free.
+    Chunked over M when a materialized one-hot would exceed ~2GB, in case
+    XLA declines to fuse at some shape.
     """
-    from genpose_tpu.ops.gather_pallas import gather_pallas, gather_supported
+    if jax.default_backend() != "tpu":
+        return jnp.take_along_axis(points, idx[..., None].astype(jnp.int32),
+                                   axis=1, mode="promise_in_bounds")
+    B, N, _ = points.shape
+    M = idx.shape[1]
 
-    if jax.default_backend() == "tpu" and gather_supported(points):
-        return gather_pallas(points, idx)
-    return jnp.take_along_axis(points, idx[..., None].astype(jnp.int32), axis=1,
-                               mode="promise_in_bounds")
+    def oh_gather(i):
+        onehot = jax.nn.one_hot(i, N, dtype=points.dtype)
+        return jnp.einsum("bmn,bnc->bmc", onehot, points,
+                          precision=jax.lax.Precision.HIGHEST)
+
+    n_chunks = 1
+    while B * (M // n_chunks) * N * 4 > (2 << 30) and M % (n_chunks * 2) == 0:
+        n_chunks *= 2
+    if n_chunks == 1:
+        return oh_gather(idx)
+    chunks = jnp.moveaxis(idx.reshape(B, n_chunks, M // n_chunks), 1, 0)
+    _, out = jax.lax.scan(lambda _, ic: (None, oh_gather(ic)), None, chunks)
+    return jnp.moveaxis(out, 0, 1).reshape(B, M, points.shape[2])
 
 
 def gather_points(points: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
