@@ -32,8 +32,36 @@ from genpose_tpu.ops.pointcloud import (
     three_interpolate,
 )
 
+# Segmentation-style config (reference pointnet2.py:18-30).
+MSG_CFG: Dict[str, Any] = {
+    "NPOINTS": [512, 256, 128, 64],
+    "RADIUS": [[0.01, 0.02], [0.02, 0.04], [0.04, 0.08], [0.08, 0.16]],
+    "NSAMPLE": [[16, 32], [16, 32], [16, 32], [16, 32]],
+    "MLPS": [
+        [[16, 16, 32], [32, 32, 64]],
+        [[64, 64, 128], [64, 96, 128]],
+        [[128, 196, 256], [128, 196, 256]],
+        [[256, 256, 512], [256, 384, 512]],
+    ],
+    "FP_MLPS": [[64, 64], [128, 128], [256, 256], [512, 512]],
+    "CLS_FC": [128],
+}
+
 # Transcribed stage configs (reference pointnet2.py:32-79).
 CLS_MSG_CONFIGS: Dict[str, Dict[str, Any]] = {
+    "full": {  # ClsMSG_CFG (reference pointnet2.py:32-44): 5 stages
+        "NPOINTS": [512, 256, 128, 64, None],
+        "RADIUS": [[0.01, 0.02], [0.02, 0.04], [0.04, 0.08], [0.08, 0.16],
+                   [None, None]],
+        "NSAMPLE": [[16, 32], [16, 32], [16, 32], [16, 32], [None, None]],
+        "MLPS": [
+            [[16, 16, 32], [32, 32, 64]],
+            [[64, 64, 128], [64, 96, 128]],
+            [[128, 196, 256], [128, 196, 256]],
+            [[256, 256, 512], [256, 384, 512]],
+            [[512, 512], [512, 512]],
+        ],
+    },
     "light": {  # ClsMSG_CFG_Light — the default ("best before 29th April")
         "NPOINTS": [512, 256, 128, None],
         "RADIUS": [[0.02, 0.04], [0.04, 0.08], [0.08, 0.16], [None, None]],
@@ -172,6 +200,69 @@ class PointnetFPModule(nn.Module):
                       bn_axis_name=self.bn_axis_name, dtype=self.dtype)(
             new_features[:, :, None, :], train=train)
         return h[:, :, 0, :]
+
+
+class Pointnet2MSG(nn.Module):
+    """Segmentation-style SA+FP encoder -> per-point scores
+    (ref ``pointnet2.py:92-163``).  Capability-parity component: the
+    reference's version is dead code (live ``set_trace`` at line 157) and is
+    not used by GenPose's default classification path.
+
+    Returns per-point features [B, N, FP_MLPS[0][-1]]; with ``cls_head``
+    also the [B, N, 1] per-point logit the reference's ``cls_layer``
+    produces.
+    """
+
+    input_channels: int = 0
+    use_bn: bool = True
+    bn_axis_name: Optional[str] = None
+    cls_head: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, pointcloud, train: bool = False):
+        xyz = pointcloud[..., :3]
+        features = pointcloud[..., 3:] if pointcloud.shape[-1] > 3 else None
+
+        l_xyz, l_features = [xyz], [features]
+        for k in range(len(MSG_CFG["NPOINTS"])):
+            xyz_k, feat_k = PointnetSAModuleMSG(
+                npoint=MSG_CFG["NPOINTS"][k],
+                radii=tuple(MSG_CFG["RADIUS"][k]),
+                nsamples=tuple(MSG_CFG["NSAMPLE"][k]),
+                mlps=tuple(tuple(m) for m in MSG_CFG["MLPS"][k]),
+                use_xyz=True,
+                use_bn=self.use_bn,
+                bn_axis_name=self.bn_axis_name,
+                dtype=self.dtype,
+                name=f"sa_{k}",
+            )(l_xyz[-1], l_features[-1], train=train)
+            l_xyz.append(xyz_k)
+            l_features.append(feat_k)
+
+        n_fp = len(MSG_CFG["FP_MLPS"])
+        for i in range(-1, -(n_fp + 1), -1):
+            l_features[i - 1] = PointnetFPModule(
+                mlp=tuple(MSG_CFG["FP_MLPS"][n_fp + i]),
+                use_bn=self.use_bn,
+                bn_axis_name=self.bn_axis_name,
+                dtype=self.dtype,
+                name=f"fp_{n_fp + i}",
+            )(l_xyz[i - 1], l_xyz[i], l_features[i - 1], l_features[i],
+              train=train)
+
+        per_point = l_features[0]  # [B, N, FP_MLPS[0][-1]]
+        if not self.cls_head:
+            return per_point
+        h = per_point
+        for j, width in enumerate(MSG_CFG["CLS_FC"]):
+            h = SharedMLP((width,), use_bn=self.use_bn,
+                          bn_axis_name=self.bn_axis_name, dtype=self.dtype,
+                          name=f"cls_{j}")(h[:, :, None, :], train=train)[:, :, 0]
+            if train:
+                h = nn.Dropout(0.5, deterministic=False)(h)
+        logit = nn.Dense(1, dtype=self.dtype, name="cls_out")(h)
+        return per_point, logit
 
 
 class Pointnet2ClsMSG(nn.Module):

@@ -186,3 +186,28 @@ def test_gfobjectpose_energy_mode_score_is_grad():
     e_minus = energy_fn(feat, pose - dp, t)
     fd = float((e_plus[0] - e_minus[0]) / (2 * h))
     assert abs(fd - float(s[0, 2])) < 2e-2 * max(1.0, abs(fd))
+
+
+def test_pointnet2_seg_msg():
+    """SA+FP segmentation encoder (ref pointnet2.py:92-163) produces
+    per-point features + per-point logits."""
+    from genpose_tpu.models.pointnet2 import Pointnet2MSG
+
+    enc = Pointnet2MSG(input_channels=0)
+    key = jax.random.PRNGKey(5)
+    pts = jax.random.normal(key, (2, 512, 3)) * 0.1
+    variables = enc.init(key, pts, train=False)
+    per_point, logit = enc.apply(variables, pts, train=False)
+    assert per_point.shape == (2, 512, 64)
+    assert logit.shape == (2, 512, 1)
+    assert np.isfinite(np.asarray(per_point)).all()
+
+
+def test_pointnet2_cls_full_config():
+    """5-stage ClsMSG_CFG variant (ref pointnet2.py:32-44)."""
+    enc = Pointnet2ClsMSG(input_channels=0, config="full")
+    key = jax.random.PRNGKey(6)
+    pts = jax.random.normal(key, (2, 512, 3)) * 0.1
+    variables = enc.init(key, pts, train=False)
+    out = enc.apply(variables, pts, train=False)
+    assert out.shape == (2, 1024)  # 512 + 512 concat
