@@ -66,3 +66,35 @@ def sort_poses_by_energy(poses: jnp.ndarray, energy: jnp.ndarray):
     sorted_trans = jnp.take_along_axis(poses[..., -3:], trans_order[..., None], axis=1)
     sorted_poses = jnp.concatenate([sorted_poses[..., :-3], sorted_trans], axis=-1)
     return sorted_poses, sorted_energy
+
+
+class RewardModel:
+    """Standalone pose-reward MLP (ref ``reward.py:14-60``).
+
+    Unused by the default GenPose pipeline (the energy net plays this role);
+    kept for capability parity.  Flax module deferred-imported to keep this
+    module lightweight for the loss-only callers.
+    """
+
+    def __new__(cls, pose_mode: str = "rot_matrix", dtype=None):
+        import jax.numpy as jnp_
+        from flax import linen as nn
+
+        from genpose_tpu.ops.pose import get_pose_dim
+
+        class _RewardModel(nn.Module):
+            pose_dim: int
+            dtype: object = jnp_.float32
+
+            @nn.compact
+            def __call__(self, pts_feature, pose):
+                """pts_feature [bs, 1024], pose [bs, pose_dim] ->
+                [bs, 2] (rotation score, translation score)."""
+                h = nn.relu(nn.Dense(256, dtype=self.dtype)(pose))
+                h = nn.relu(nn.Dense(256, dtype=self.dtype)(h))
+                f = jnp_.concatenate([pts_feature, h], axis=-1)
+                f = nn.relu(nn.Dense(256, dtype=self.dtype)(f))
+                return nn.Dense(2, dtype=self.dtype)(f)
+
+        return _RewardModel(pose_dim=get_pose_dim(pose_mode),
+                            dtype=dtype or jnp_.float32)

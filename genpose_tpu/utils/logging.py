@@ -98,3 +98,17 @@ class MetricsLogger:
         self._jsonl.close()
         if self.writer is not None:
             self.writer.close()
+
+
+def merge_results(results_ori: dict, results_new: dict) -> dict:
+    """Concatenate per-batch inference result dicts
+    (ref ``genpose_utils.py:99-110``)."""
+    import numpy as np
+
+    if not results_ori:
+        return results_new
+    return {
+        k: np.concatenate([np.asarray(results_ori[k]),
+                           np.asarray(results_new[k])], axis=0)
+        for k in ("pred_pose", "gt_pose", "cls_id", "handle_visibility")
+    }
