@@ -90,6 +90,11 @@ def _row_gather(points: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     if jax.default_backend() != "tpu":
         return jnp.take_along_axis(points, idx[..., None].astype(jnp.int32),
                                    axis=1, mode="promise_in_bounds")
+    return one_hot_gather(points, idx)
+
+
+def one_hot_gather(points: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """Row gather expressed as a one-hot matmul (bit-exact; see _row_gather)."""
     B, N, _ = points.shape
     M = idx.shape[1]
 

