@@ -164,7 +164,9 @@ def pc_sampler(
 
         # Corrector (Langevin MCMC)
         grad = score_fn(x, t_vec)
-        grad_norm = jnp.mean(jnp.linalg.norm(grad, axis=-1))
+        # guard: an exactly-zero score (zero-initialized net) would give an
+        # infinite Langevin step; trained nets are unaffected
+        grad_norm = jnp.maximum(jnp.mean(jnp.linalg.norm(grad, axis=-1)), 1e-12)
         langevin_step = 2.0 * (snr * noise_norm / grad_norm) ** 2
         x = x + langevin_step * grad + jnp.sqrt(2.0 * langevin_step) * \
             jax.random.normal(k1, x.shape)
