@@ -90,22 +90,47 @@ class DataLoader:
         batches = self._batches()
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         sentinel = object()
+        stop = threading.Event()
 
         def producer():
             with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
                 for batch_idx in batches:
+                    if stop.is_set():
+                        break
                     samples = list(pool.map(self.dataset.__getitem__, batch_idx))
-                    q.put(collate(samples))
+                    # bounded put with a timeout so an abandoned iterator
+                    # (consumer stopped reading) can't block this thread
+                    # forever on a full queue
+                    while not stop.is_set():
+                        try:
+                            q.put(collate(samples), timeout=0.5)
+                            break
+                        except queue.Full:
+                            continue
             q.put(sentinel)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is sentinel:
-                break
-            yield item
-        t.join()
+        try:
+            while True:
+                item = q.get()
+                if item is sentinel:
+                    break
+                yield item
+        finally:
+            # reached on exhaustion AND on GeneratorExit (caller broke out of
+            # the loop or dropped the iterator) — release the producer, its
+            # thread pool, and the prefetched batches
+            stop.set()
+            while True:
+                try:
+                    if q.get_nowait() is sentinel:
+                        break
+                except queue.Empty:
+                    if not t.is_alive():
+                        break
+                    t.join(timeout=0.1)
+            t.join()
 
 
 def get_data_loaders_from_cfg(cfg, data_type=("train", "val", "test")):

@@ -101,6 +101,15 @@ class SharedMLP(nn.Module):
         return x
 
 
+def _concat_fan_in_init(total_fan_in: int, slice_fan_in: int):
+    """lecun_normal at a forced fan-in: a kernel slice of a conceptual
+    concat-Dense must be initialized at the FULL concat fan-in, not its own
+    row count, to reproduce the reference ``nn.Linear(1408, .)`` scale."""
+    return nn.initializers.variance_scaling(
+        scale=slice_fan_in / total_fan_in, mode="fan_in",
+        distribution="truncated_normal")
+
+
 class SplitTail(nn.Module):
     """Fusion tail ``zero_dense(relu(Dense([pts_feat, dyn_feat])))`` with the
     first Dense split into a static (pts_feat) and a dynamic part.
@@ -119,9 +128,16 @@ class SplitTail(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
-        self.feat_proj = nn.Dense(self.hidden, use_bias=False,
-                                  dtype=self.dtype, name="feat")
-        self.dyn_proj = nn.Dense(self.hidden, dtype=self.dtype, name="dyn")
+        # init each split slice at the CONCAT fan-in (1024 + dyn) so the
+        # initial pre-activation variance matches the single Dense over the
+        # concat that this module partitions (lecun on the slice alone would
+        # over-scale the narrow dynamic half)
+        self.feat_proj = nn.Dense(
+            self.hidden, use_bias=False, dtype=self.dtype, name="feat",
+            kernel_init=_concat_fan_in_init(1024 + 384, 1024))
+        self.dyn_proj = nn.Dense(
+            self.hidden, dtype=self.dtype, name="dyn",
+            kernel_init=_concat_fan_in_init(1024 + 384, 384))
         self.out = zero_dense(self.out_dim, dtype=self.dtype, name="out")
 
     def precompute(self, pts_feat):
@@ -155,13 +171,16 @@ class FusedTails(nn.Module):
 
     def setup(self):
         kh = self.num_tails * self.hidden
-        lecun = nn.initializers.lecun_normal()
+        # reference scale: one nn.Linear over the concat, fan_in = 1024+t+pose
+        total = 1024 + self.t_dim + self.pose_feat_dim
         self.feat_kernel = self.param(
-            "feat_kernel", lambda k, s: lecun(k, s), (1024, kh))
+            "feat_kernel", _concat_fan_in_init(total, 1024), (1024, kh))
         self.t_kernel = self.param(
-            "t_kernel", lambda k, s: lecun(k, s), (self.t_dim, kh))
+            "t_kernel", _concat_fan_in_init(total, self.t_dim),
+            (self.t_dim, kh))
         self.pose_kernel = self.param(
-            "pose_kernel", lambda k, s: lecun(k, s), (self.pose_feat_dim, kh))
+            "pose_kernel", _concat_fan_in_init(total, self.pose_feat_dim),
+            (self.pose_feat_dim, kh))
         self.bias = self.param("bias", nn.initializers.zeros, (kh,))
         # zero-init output bank: reference zeroes every tail's last layer
         self.out_kernel = self.param(

@@ -259,8 +259,10 @@ class Pointnet2MSG(nn.Module):
             h = SharedMLP((width,), use_bn=self.use_bn,
                           bn_axis_name=self.bn_axis_name, dtype=self.dtype,
                           name=f"cls_{j}")(h[:, :, None, :], train=train)[:, :, 0]
-            if train:
-                h = nn.Dropout(0.5, deterministic=False)(h)
+            # dropout only when training AND the caller supplied a 'dropout'
+            # rng (apply(..., rngs={'dropout': key})); deterministic otherwise
+            use_dropout = train and self.has_rng("dropout")
+            h = nn.Dropout(0.5, deterministic=not use_dropout)(h)
         logit = nn.Dense(1, dtype=self.dtype, name="cls_out")(h)
         return per_point, logit
 

@@ -31,6 +31,7 @@ import numpy as np
 
 from genpose_tpu.config import Config, get_config
 from genpose_tpu.data.dataset_utils import (
+    aug_bbox_eval,
     backproject_and_sample,
     crop_resize_by_warp_affine,
     get_2d_coord_np,
@@ -71,9 +72,7 @@ def _instance_points(raw_depth, mask, bbox, cam_K, img_size, num_points, rng):
     """
     im_H, im_W = raw_depth.shape
     rmin, rmax, cmin, cmax = get_bbox(bbox, im_H, im_W)
-    x1, y1, x2, y2 = cmin, rmin, cmax, rmax
-    bbox_center = np.array([0.5 * (x1 + x2), 0.5 * (y1 + y2)])
-    scale = min(max(y2 - y1, x2 - x1), max(im_H, im_W)) * 1.0
+    bbox_center, scale = aug_bbox_eval((cmin, rmin, cmax, rmax), im_H, im_W)
 
     coord_2d = get_2d_coord_np(im_W, im_H).transpose(1, 2, 0)
     roi_coord_2d = crop_resize_by_warp_affine(

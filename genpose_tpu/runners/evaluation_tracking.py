@@ -67,7 +67,11 @@ def extract_single_frame_data(cfg: Config, path: str, rng) -> Optional[dict]:
         mrcnn_result = pickle.load(f)
     num_insts = len(mrcnn_result["pred"]["class_ids"])
 
-    f_points, f_catId = [], []
+    # every per-instance field is filtered by the SAME keep mask — the
+    # downstream loop indexes pred rows, gt poses, and model names with a
+    # single instance index, so a dropped detection must drop everywhere
+    f_points, f_catId, f_gt, f_names, f_hv, f_seen = [], [], [], [], [], []
+    seen = mrcnn_result["pred"].get("seen")
     for i in range(num_insts):
         mask = np.logical_and(mrcnn_result["pred"]["masks"][:, :, i],
                               raw_depth > 0)
@@ -77,18 +81,23 @@ def extract_single_frame_data(cfg: Config, path: str, rng) -> Optional[dict]:
         if pts is None:
             continue
         # normalize away any scale in the GT pose (ref :175)
-        gtp = mrcnn_result["gt"]["poses"][i]
+        gtp = np.array(mrcnn_result["gt"]["poses"][i])
         gtp[:3, :3] = gtp[:3, :3] / np.linalg.norm(gtp[:3, 0])
         f_points.append(pts)
         f_catId.append(mrcnn_result["pred"]["class_ids"][i] - 1)
+        f_gt.append(gtp)
+        f_names.append(mrcnn_result["gt"]["model_list"][i])
+        f_hv.append(mrcnn_result["gt"]["handle_visibility"][i])
+        if seen is not None:
+            f_seen.append(seen[i])
 
     if not f_points:
         return None
     return {
-        "gt_handle_visibility": mrcnn_result["gt"]["handle_visibility"],
-        "gt_pose": mrcnn_result["gt"]["poses"],
-        "tracked": mrcnn_result["pred"].get("seen"),
-        "model_name": list(mrcnn_result["gt"]["model_list"]),
+        "gt_handle_visibility": np.asarray(f_hv),
+        "gt_pose": np.asarray(f_gt),
+        "tracked": f_seen if seen is not None else None,
+        "model_name": f_names,
         "pts": f_points,
         "cat_id": f_catId,
     }

@@ -119,8 +119,17 @@ def create_train_state(
     if optimizer == "Adam":
         opt = optax.adam(schedule, b1=0.9, b2=0.999, eps=1e-8)
     elif optimizer == "SGD":
+        # weight decay must skip the frozen GaussianFourier W: its gradient
+        # is stop_gradient'ed to zero, but add_decayed_weights would still
+        # shrink it every step (torch's requires_grad=False gets no update)
+        def decay_mask(params):
+            def mask_fn(path, _):
+                return not any(getattr(k, "key", None) == "t_fourier"
+                               for k in path)
+            return jax.tree_util.tree_map_with_path(mask_fn, params)
+
         opt = optax.chain(
-            optax.add_decayed_weights(1e-4),
+            optax.masked(optax.add_decayed_weights(1e-4), decay_mask),
             optax.sgd(schedule, momentum=0.9),
         )
     else:
