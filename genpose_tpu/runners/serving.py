@@ -1,0 +1,129 @@
+"""Production inference pipeline: one compiled dispatch per request batch.
+
+The reference has no serving story (its eval scripts round-trip scipy per
+ODE step); this is the deployment-facing API of the TPU framework. The full
+chain — zero-center -> K-hypothesis PF-ODE sampling -> energy scoring ->
+decoupled rot/trans ranking -> top-ratio quaternion-average pooling
+(``evaluation_single.py:356-489`` semantics) — is compiled into a single
+XLA program with static shapes; requests smaller than the compiled batch
+are padded, larger ones are chunked.
+
+Usage:
+    pipe = InferencePipeline(cfg, score_ckpt_dir, energy_ckpt_dir)
+    out = pipe.predict(pts)       # pts: [n, num_points, 3] float32 (meters)
+    out["pred_pose"]              # [n, 7]  wxyz quaternion + translation
+    out["sorted_hypotheses"]      # [n, K, pose_dim], best-energy first
+    out["energy"]                 # [n, K, 2]
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from genpose_tpu.config import Config
+from genpose_tpu.training.agent import PoseAgent
+from genpose_tpu.training.checkpoints import load_checkpoint
+from genpose_tpu.training.ranking import sort_poses_by_energy
+
+
+class InferencePipeline:
+    """Load-once, dispatch-once pose estimation service."""
+
+    def __init__(
+        self,
+        cfg: Config,
+        score_ckpt: Optional[str] = None,
+        energy_ckpt: Optional[str] = None,
+        batch_size: Optional[int] = None,
+        mesh=None,
+    ):
+        self.cfg = cfg
+        self.bs = batch_size or cfg.batch_size
+        self.K = cfg.eval_repeat_num
+        self.keep = max(1, int(cfg.ratio * self.K)) if getattr(
+            cfg, "ratio", None) else max(1, int(0.6 * self.K))
+        self.mesh = mesh
+
+        self.score_agent = PoseAgent(cfg, "score", mesh=mesh)
+        self.energy_agent = PoseAgent(cfg, "energy", mesh=mesh)
+        if score_ckpt:
+            self.score_agent.state = load_checkpoint(
+                score_ckpt, self.score_agent.state, load_model_only=True)
+        if energy_ckpt:
+            self.energy_agent.state = load_checkpoint(
+                energy_ckpt, self.energy_agent.state, load_model_only=True)
+        if mesh is not None:
+            from genpose_tpu.parallel.mesh import replicate
+
+            self.score_agent.state = replicate(mesh, self.score_agent.state)
+            self.energy_agent.state = replicate(mesh, self.energy_agent.state)
+
+        K, keep, steps, T0 = (self.K, self.keep, cfg.sampling_steps, cfg.T0)
+        score_agent, energy_agent = self.score_agent, self.energy_agent
+
+        @jax.jit
+        def _run(score_state, energy_state, pts, key):
+            center = jnp.mean(pts[:, :, :3], axis=1)
+            batch = {
+                "zero_mean_pts": pts.at[:, :, :3].add(-center[:, None, :]),
+                "pts_center": center,
+            }
+            pred = score_agent._sample_impl(
+                score_state, batch, key, repeat_num=K, sampler="ode",
+                num_steps=steps, T0=T0)
+            t_in = jnp.full((pts.shape[0], K), 1e-5)
+            energy = energy_agent._get_energy_impl(
+                energy_state, batch, pred, t_in)
+            sorted_pose, sorted_energy = sort_poses_by_energy(pred, energy)
+            pred_q, avg = score_agent.aggregate_hypotheses(
+                sorted_pose[:, :keep])
+            best = pred_q[:, 0]
+            return {
+                "pred_pose": avg,                # [n, 7] wxyz + t (pooled)
+                "best_pose": best,               # [n, 7] best-energy
+                "sorted_hypotheses": sorted_pose,  # [n, K, pose_dim]
+                "energy": sorted_energy,         # [n, K, 2]
+            }
+
+        self._run = _run
+
+    def warmup(self, key=None):
+        """Compile with dummy data (first real request then runs hot)."""
+        pts = jnp.zeros((self.bs, self.cfg.num_points, 3), jnp.float32)
+        out = self._run(self.score_agent.state, self.energy_agent.state, pts,
+                        key if key is not None else jax.random.PRNGKey(0))
+        jax.block_until_ready(out)
+        return self
+
+    def predict(self, pts, key=None) -> Dict[str, np.ndarray]:
+        """pts: [n, num_points, 3] camera-frame meters -> result dict.
+
+        n may be anything: short batches are padded to the compiled size,
+        long ones chunked.  Deterministic per (pts, key).
+        """
+        pts = np.asarray(pts, np.float32)
+        n = pts.shape[0]
+        key = key if key is not None else jax.random.PRNGKey(0)
+
+        outs = []
+        for lo in range(0, n, self.bs):
+            chunk = pts[lo:lo + self.bs]
+            pad = self.bs - chunk.shape[0]
+            if pad:
+                chunk = np.concatenate(
+                    [chunk, np.repeat(chunk[-1:], pad, axis=0)], axis=0)
+            if self.mesh is not None:
+                from genpose_tpu.parallel.mesh import shard_batch
+
+                chunk = shard_batch(self.mesh, {"pts": jnp.asarray(chunk)})["pts"]
+            key, k = jax.random.split(key)
+            out = self._run(self.score_agent.state, self.energy_agent.state,
+                            jnp.asarray(chunk), k)
+            outs.append({kk: np.asarray(v)[:self.bs - pad or None]
+                         for kk, v in out.items()})
+        return {kk: np.concatenate([o[kk] for o in outs], axis=0)
+                for kk in outs[0]}
