@@ -123,7 +123,10 @@ class InferencePipeline:
             key, k = jax.random.split(key)
             out = self._run(self.score_agent.state, self.energy_agent.state,
                             jnp.asarray(chunk), k)
-            outs.append({kk: np.asarray(v)[:self.bs - pad or None]
+            # one device_get for the whole tree: a single host transfer
+            # instead of one round-trip per output array
+            out = jax.device_get(out)
+            outs.append({kk: v[:self.bs - pad or None]
                          for kk, v in out.items()})
         return {kk: np.concatenate([o[kk] for o in outs], axis=0)
                 for kk in outs[0]}
