@@ -157,3 +157,26 @@ def test_get_rotation_matches_numpy():
     got = np.asarray(get_rotation(10.0, -20.0, 30.0))
     want = get_rotation_np(10.0, -20.0, 30.0)
     np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_loader_abandoned_iterator_releases_producer(nocs_dir):
+    """Breaking out of a loader loop must stop the producer thread instead of
+    deadlocking it on the bounded queue (review regression)."""
+    import threading
+    import time as _time
+
+    from genpose_tpu.data.nocs import NOCSDataset
+    from genpose_tpu.data.loader import DataLoader
+
+    ds = NOCSDataset(data_dir=nocs_dir, source="CAMERA+Real", mode="train",
+                     n_pts=64)
+    loader = DataLoader(ds, batch_size=2, num_workers=2, prefetch=1, seed=0)
+    before = threading.active_count()
+    for _ in range(3):
+        it = iter(loader)
+        next(it)     # consume one batch, abandon the rest
+        it.close()   # what GC / loop-exit does to a generator
+    deadline = _time.time() + 10
+    while threading.active_count() > before and _time.time() < deadline:
+        _time.sleep(0.05)
+    assert threading.active_count() <= before, "producer threads leaked"
