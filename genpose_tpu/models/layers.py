@@ -204,6 +204,74 @@ class FusedTails(nn.Module):
         return out.reshape(out.shape[0], self.num_tails * self.out_dim)
 
 
+class PerPointTail(nn.Module):
+    """RotHead/TransHead-style decoder tail over PER-POINT features
+    (ref ``networks/decoder_head/rot_head.py:8-35``,
+    ``trans_head.py:10-41``), channels-last.
+
+    torch pipeline (both heads are the same architecture):
+    ``conv1(f->1024)+bn1+relu -> conv2(1024->256)+bn2+relu -> max over
+    points -> conv3(256->256)+bn3+relu -> dropout(0.2) -> conv4(256->out)``
+    where every convN is a 1x1 Conv1d, i.e. a feature-dim matmul.
+
+    conv1 is linear over the concat ``[pts_feat, t_feat, pose_feat]``
+    channel blocks (ref ``scorenet.py:198-204``), so its kernel is stored as
+    three row blocks; the pts block is loop-invariant inside a sampler scan
+    and exposed via :meth:`precompute`, while the t/pose blocks produce a
+    per-sample row that broadcasts over points.
+    """
+
+    pts_dim: int = 1280
+    t_dim: int = 128
+    pose_feat_dim: int = 256
+    out_dim: int = 3
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        total = self.pts_dim + self.t_dim + self.pose_feat_dim
+        self.feat_kernel = self.param(
+            "feat_kernel", _concat_fan_in_init(total, self.pts_dim),
+            (self.pts_dim, 1024))
+        self.t_kernel = self.param(
+            "t_kernel", _concat_fan_in_init(total, self.t_dim),
+            (self.t_dim, 1024))
+        self.pose_kernel = self.param(
+            "pose_kernel", _concat_fan_in_init(total, self.pose_feat_dim),
+            (self.pose_feat_dim, 1024))
+        self.bias1 = self.param("bias1", nn.initializers.zeros, (1024,))
+        # torch BatchNorm1d defaults: momentum 0.1 (=> flax 0.9), eps 1e-5
+        bn = lambda name: nn.BatchNorm(momentum=0.9, epsilon=1e-5,
+                                       dtype=self.dtype, name=name)
+        self.bn1, self.bn2, self.bn3 = bn("bn1"), bn("bn2"), bn("bn3")
+        self.conv2 = nn.Dense(256, dtype=self.dtype, name="conv2")
+        self.conv3 = nn.Dense(256, dtype=self.dtype, name="conv3")
+        self.conv4 = nn.Dense(self.out_dim, dtype=self.dtype, name="conv4")
+        self.drop = nn.Dropout(0.2)
+
+    def precompute(self, pts_feat):
+        """pts_feat [bs, N, pts_dim] -> conv1's static part [bs, N, 1024]."""
+        return pts_feat @ self.feat_kernel.astype(self.dtype)
+
+    def from_proj(self, fp, t_feat, pose_feat, train: bool = False,
+                  use_dropout_rng: bool = False):
+        """fp [bs, N, 1024]; t_feat [1 or bs, t_dim]; pose_feat [bs, pose_feat_dim]."""
+        dyn = (t_feat @ self.t_kernel.astype(self.dtype)
+               + pose_feat @ self.pose_kernel.astype(self.dtype)
+               + self.bias1.astype(self.dtype))
+        h = fp + dyn[:, None, :]
+        h = nn.relu(self.bn1(h, use_running_average=not train))
+        h = nn.relu(self.bn2(self.conv2(h), use_running_average=not train))
+        h = jnp.max(h, axis=1)  # max-pool over points (rot_head.py:26)
+        h = nn.relu(self.bn3(self.conv3(h), use_running_average=not train))
+        h = self.drop(h, deterministic=not (train and use_dropout_rng))
+        return self.conv4(h)
+
+    def __call__(self, pts_feat, t_feat, pose_feat, train: bool = False,
+                 use_dropout_rng: bool = False):
+        return self.from_proj(self.precompute(pts_feat), t_feat, pose_feat,
+                              train=train, use_dropout_rng=use_dropout_rng)
+
+
 class MLP(nn.Module):
     """Dense->ReLU stack (no norm) used by the pose / time encoders."""
 

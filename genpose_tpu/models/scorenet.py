@@ -20,6 +20,7 @@ from flax import linen as nn
 from genpose_tpu.models.layers import (
     FusedTails,
     GaussianFourierProjection,
+    PerPointTail,
     PositionalEmbedding,
     SplitTail,
     zero_dense,
@@ -49,6 +50,10 @@ class PoseTrunk(nn.Module):
 
     pose_mode: str = "rot_matrix"
     regression_head: str = "Rx_Ry_and_T"
+    # per-point variant: pts_feat is [bs, N, pts_feat_dim] and the tails are
+    # RotHead/TransHead decoder heads (ref ``scorenet.py:86,146-149,198-204``)
+    per_point_feature: bool = False
+    pts_feat_dim: int = 1280
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -60,9 +65,20 @@ class PoseTrunk(nn.Module):
         self.pose_dense_0 = nn.Dense(256, dtype=self.dtype, name="pose_dense_0")
         self.pose_dense_1 = nn.Dense(256, dtype=self.dtype, name="pose_dense_1")
         specs = _tail_specs(self.regression_head, pose_dim)
+        if self.per_point_feature:
+            # the reference wires per-point heads only for Rx_Ry_and_T
+            # (scorenet.py:146-149); other heads raise there too
+            if self.regression_head != "Rx_Ry_and_T":
+                raise NotImplementedError(
+                    "per_point_feature requires Rx_Ry_and_T")
+            self.tails = [
+                PerPointTail(pts_dim=self.pts_feat_dim, out_dim=out_dim,
+                             dtype=self.dtype, name=name)
+                for name, _, out_dim in specs
+            ]
         # identical tail shapes -> one fused bank (single wide matmul per
         # step); otherwise a list of split tails (R_and_T's 6/3 outputs)
-        if len({(h, o) for _, h, o in specs}) == 1:
+        elif len({(h, o) for _, h, o in specs}) == 1:
             self.tails = FusedTails(
                 num_tails=len(specs), hidden=specs[0][1], out_dim=specs[0][2],
                 dtype=self.dtype, name="tails")
@@ -78,7 +94,7 @@ class PoseTrunk(nn.Module):
             return self.tails.precompute(pts_feat)
         return tuple(tail.precompute(pts_feat) for tail in self.tails)
 
-    def f_theta_from(self, projs, sampled_pose, t):
+    def f_theta_from(self, projs, sampled_pose, t, train: bool = False):
         """Head output given precomputed projections.
 
         t may be [N, 1] (training/energy) or [1, 1] (samplers — t is shared
@@ -88,6 +104,14 @@ class PoseTrunk(nn.Module):
         t_feat = nn.relu(self.t_dense(self.t_fourier(t[:, 0])))
         pose_feat = nn.relu(self.pose_dense_0(sampled_pose))
         pose_feat = nn.relu(self.pose_dense_1(pose_feat))
+        if self.per_point_feature:
+            use_drop = self.has_rng("dropout")
+            return jnp.concatenate(
+                [tail.from_proj(fp, t_feat, pose_feat, train=train,
+                                use_dropout_rng=use_drop)
+                 for tail, fp in zip(self.tails, projs)],
+                axis=-1,
+            )
         if isinstance(self.tails, FusedTails):
             return self.tails.from_proj(projs, t_feat, pose_feat)
         if t_feat.shape[0] != pose_feat.shape[0]:
@@ -99,32 +123,44 @@ class PoseTrunk(nn.Module):
             axis=-1,
         )
 
-    def __call__(self, pts_feat, sampled_pose, t):
-        return self.f_theta_from(self.precompute(pts_feat), sampled_pose, t)
+    def __call__(self, pts_feat, sampled_pose, t, train: bool = False):
+        return self.f_theta_from(self.precompute(pts_feat), sampled_pose, t,
+                                 train=train)
 
 
 class PoseScoreNet(nn.Module):
     marginal_prob_fn: Callable  # (x, t) -> (mean, std); static closure
     pose_mode: str = "rot_matrix"
     regression_head: str = "Rx_Ry_and_T"
+    # per-point variant (ref ``scorenet.py:86``): pts_feat is per-point
+    # [bs, N, pts_feat_dim] and the tails are RotHead/TransHead decoder
+    # heads.  Selectable like the reference's ``per_point_feature`` flag
+    # (the reference's composite model hardcodes it off, ``posenet.py:57``).
+    per_point_feature: bool = False
+    pts_feat_dim: int = 1280
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
         self.trunk = PoseTrunk(pose_mode=self.pose_mode,
                                regression_head=self.regression_head,
+                               per_point_feature=self.per_point_feature,
+                               pts_feat_dim=self.pts_feat_dim,
                                dtype=self.dtype, name="trunk")
 
     def precompute(self, pts_feat):
         return self.trunk.precompute(pts_feat)
 
-    def score_from(self, projs, sampled_pose, t):
+    def score_from(self, projs, sampled_pose, t, train: bool = False):
         _, std = self.marginal_prob_fn(None, t)
         std = jnp.reshape(std, (-1, 1))
-        return self.trunk.f_theta_from(projs, sampled_pose, t) / (std + 1e-7)
+        f_theta = self.trunk.f_theta_from(projs, sampled_pose, t, train=train)
+        return f_theta / (std + 1e-7)
 
-    def __call__(self, pts_feat, sampled_pose, t):
-        """pts_feat [bs, 1024]; sampled_pose [bs, pose_dim]; t [bs, 1] -> score."""
-        return self.score_from(self.precompute(pts_feat), sampled_pose, t)
+    def __call__(self, pts_feat, sampled_pose, t, train: bool = False):
+        """pts_feat [bs, 1024] (or [bs, N, pts_feat_dim] per-point);
+        sampled_pose [bs, pose_dim]; t [bs, 1] -> score."""
+        return self.score_from(self.precompute(pts_feat), sampled_pose, t,
+                               train=train)
 
 
 class PoseDecoderNet(nn.Module):

@@ -68,9 +68,17 @@ def quat_wxyz_to_matrix(q: jnp.ndarray) -> jnp.ndarray:
 
 
 def matrix_to_quat_wxyz(m: jnp.ndarray) -> jnp.ndarray:
-    """Rotation matrix -> unit quaternion (w, x, y, z), branchless best-diagonal.
+    """Rotation matrix -> quaternion (w, x, y, z), branchless best-diagonal.
 
     m: [..., 3, 3] -> [..., 4].  Numerically stable for all rotations.
+    Exactly matches pytorch3d's ``matrix_to_quaternion`` INCLUDING its
+    behavior on non-orthonormal input: the NOCS eval protocol feeds scaled
+    sRT rotations (s*R) through it during hypothesis pooling
+    (ref ``sgpa_utils.py:940``), where the returned quaternion is neither
+    unit-norm nor exactly the quaternion of R — the per-hypothesis norms
+    weight the eigen-average, so normalizing here would shift mAP
+    (certified by ``tests/test_reference_parity.py::test_compute_mAP_parity``).
+    Unit-rotation inputs yield unit quaternions as usual.
     """
     m00, m01, m02 = m[..., 0, 0], m[..., 0, 1], m[..., 0, 2]
     m10, m11, m12 = m[..., 1, 0], m[..., 1, 1], m[..., 1, 2]
@@ -99,9 +107,7 @@ def matrix_to_quat_wxyz(m: jnp.ndarray) -> jnp.ndarray:
 
     best = jnp.argmax(q_abs, axis=-1)
     q = jnp.take_along_axis(cands, best[..., None, None].repeat(4, axis=-1), axis=-2)
-    q = q[..., 0, :]
-    q = q / jnp.clip(jnp.linalg.norm(q, axis=-1, keepdims=True), _EPS)
-    return q
+    return q[..., 0, :]
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,485 @@
+"""Cross-implementation golden tests against the actual reference code.
+
+The reference (`/root/reference`, GenPose, torch) is imported on CPU torch
+via ``tests/_reference_bridge.py`` and compared NUMERICALLY to this
+framework with ported weights:
+
+- score-net forward parity for every regression head incl. the per-point
+  RotHead/TransHead variant (``scorenet.py:85-222``) — certifies the concat
+  order, the sigma(t) division, the GaussianFourier embedding, and the
+  SplitTail/FusedTails/PerPointTail kernel repacking in one stroke;
+- energy-net forward + autograd-score parity over all mode combos
+  (``energynet.py:32-222``);
+- ranking loss / sorting parity (``reward.py:63-155``);
+- ``compute_mAP`` parity on identical synthetic scenes
+  (``sgpa_utils.py:957-1197``), plus a test pinning the ONE deliberate
+  deviation (the reference forgets to reorder pred_bboxes by score inside
+  ``compute_2d_IoU_matches``, ``sgpa_utils.py:489-494``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax
+import jax.numpy as jnp
+
+from _reference_bridge import import_reference
+
+from genpose_tpu.diffusion.sde import init_sde
+from genpose_tpu.utils.torch_port import port_trunk, port_gf_state_dict
+
+
+# ---------------------------------------------------------------------------
+# fixtures
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def ref():
+    scorenet, energynet, sde_mod, reward, sgpa = import_reference(
+        "networks.gf_algorithms.scorenet",
+        "networks.gf_algorithms.energynet",
+        "networks.gf_algorithms.sde",
+        "networks.reward",
+        "utils.sgpa_utils",
+    )
+    # the reference's mAP pooling path calls .cuda() unconditionally
+    # (sgpa_utils.py:940); run it on CPU
+    torch.Tensor.cuda = lambda self, *a, **k: self
+    return {
+        "scorenet": scorenet,
+        "energynet": energynet,
+        "sde": sde_mod,
+        "reward": reward,
+        "sgpa": sgpa,
+    }
+
+
+def _randomize(net: torch.nn.Module, seed: int = 0) -> None:
+    """Perturb every parameter AND BN running stats (the reference zero-inits
+    tail output layers; XLA would constant-fold a zero head)."""
+    g = torch.Generator().manual_seed(seed)
+    with torch.no_grad():
+        for p in net.parameters():
+            p.copy_(torch.randn(p.shape, generator=g) * 0.1)
+        for m in net.modules():
+            if isinstance(m, (torch.nn.BatchNorm1d, torch.nn.BatchNorm2d)):
+                m.running_mean.copy_(torch.randn(m.running_mean.shape,
+                                                 generator=g) * 0.05)
+                m.running_var.copy_(
+                    1.0 + 0.1 * torch.rand(m.running_var.shape, generator=g))
+
+
+def _ve_marginal(ref):
+    _, marginal_prob_fn, _, _, _ = ref["sde"].init_sde("ve")
+    return marginal_prob_fn
+
+
+# ---------------------------------------------------------------------------
+# score network forward parity
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("regression_head,pose_mode", [
+    ("RT", "rot_matrix"),
+    ("R_and_T", "rot_matrix"),
+    ("Rx_Ry_and_T", "rot_matrix"),
+    ("RT", "quat_wxyz"),
+])
+def test_score_forward_parity(ref, regression_head, pose_mode):
+    from genpose_tpu.models.scorenet import PoseScoreNet
+    from genpose_tpu.ops.pose import get_pose_dim
+
+    tnet = ref["scorenet"].PoseScoreNet(
+        _ve_marginal(ref), pose_mode, regression_head, False)
+    _randomize(tnet, seed=3)
+    tnet.eval()
+
+    pose_dim = get_pose_dim(pose_mode)
+    rng = np.random.RandomState(7)
+    pts_feat = rng.randn(6, 1024).astype(np.float32)
+    pose = rng.randn(6, pose_dim).astype(np.float32)
+    t = rng.uniform(1e-3, 1.0, (6, 1)).astype(np.float32)
+
+    with torch.no_grad():
+        t_out = tnet({
+            "pts_feat": torch.from_numpy(pts_feat),
+            "sampled_pose": torch.from_numpy(pose),
+            "t": torch.from_numpy(t),
+        }).numpy()
+
+    sde = init_sde("ve")
+    jnet = PoseScoreNet(marginal_prob_fn=sde.marginal_prob,
+                        pose_mode=pose_mode, regression_head=regression_head)
+    template = jnet.init(jax.random.PRNGKey(0), jnp.asarray(pts_feat),
+                         jnp.asarray(pose), jnp.asarray(t))
+    trunk_p, _ = port_trunk(tnet.state_dict(), "",
+                            regression_head=regression_head)
+    jax.tree_util.tree_map(
+        lambda a, b: None,  # raises on any structure mismatch
+        template["params"]["trunk"], trunk_p)
+    j_out = np.asarray(jnet.apply(
+        {"params": {"trunk": trunk_p}}, jnp.asarray(pts_feat),
+        jnp.asarray(pose), jnp.asarray(t)))
+
+    np.testing.assert_allclose(j_out, t_out, rtol=1e-4, atol=2e-4)
+
+
+def test_score_forward_parity_per_point(ref):
+    """Per-point RotHead/TransHead variant (``scorenet.py:146-149,198-204``,
+    ``decoder_head/rot_head.py:8-35``)."""
+    from genpose_tpu.models.scorenet import PoseScoreNet
+
+    tnet = ref["scorenet"].PoseScoreNet(
+        _ve_marginal(ref), "rot_matrix", "Rx_Ry_and_T", True)
+    _randomize(tnet, seed=11)
+    tnet.eval()
+
+    rng = np.random.RandomState(13)
+    n_pts = 24
+    pts_feat = rng.randn(4, 1280, n_pts).astype(np.float32)  # torch: [bs, C, N]
+    pose = rng.randn(4, 9).astype(np.float32)
+    t = rng.uniform(1e-3, 1.0, (4, 1)).astype(np.float32)
+
+    with torch.no_grad():
+        t_out = tnet({
+            "pts_feat": torch.from_numpy(pts_feat),
+            "sampled_pose": torch.from_numpy(pose),
+            "t": torch.from_numpy(t),
+        }).numpy()
+
+    sde = init_sde("ve")
+    jnet = PoseScoreNet(marginal_prob_fn=sde.marginal_prob,
+                        pose_mode="rot_matrix", regression_head="Rx_Ry_and_T",
+                        per_point_feature=True, pts_feat_dim=1280)
+    pts_feat_j = jnp.asarray(np.transpose(pts_feat, (0, 2, 1)))  # [bs, N, C]
+    template = jnet.init(jax.random.PRNGKey(0), pts_feat_j, jnp.asarray(pose),
+                         jnp.asarray(t))
+    trunk_p, trunk_s = port_trunk(tnet.state_dict(), "",
+                                  regression_head="Rx_Ry_and_T",
+                                  per_point_feature=True, pts_feat_dim=1280)
+    # param-count parity (VERDICT item 6): every torch parameter is ported
+    n_torch = sum(p.numel() for p in tnet.parameters())
+    n_flax = sum(int(np.prod(np.shape(x)))
+                 for x in jax.tree_util.tree_leaves(trunk_p))
+    assert n_torch == n_flax
+    jax.tree_util.tree_map(lambda a, b: None, template["params"]["trunk"], trunk_p)
+    jax.tree_util.tree_map(lambda a, b: None, template["batch_stats"]["trunk"],
+                           trunk_s)
+
+    j_out = np.asarray(jnet.apply(
+        {"params": {"trunk": trunk_p}, "batch_stats": {"trunk": trunk_s}},
+        pts_feat_j, jnp.asarray(pose), jnp.asarray(t)))
+    np.testing.assert_allclose(j_out, t_out, rtol=1e-4, atol=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# energy network parity (forward + autograd score)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("energy_mode,s_theta_mode,norm_energy", [
+    ("IP", "score", "identical"),   # released default (configs/config.py:40-42)
+    ("IP", "decoder", "std"),
+    ("DAE", "score", "minus"),
+    ("L2", "identical", "identical"),
+    ("DAE", "decoder", "std"),
+])
+def test_energy_forward_and_score_parity(ref, energy_mode, s_theta_mode,
+                                         norm_energy):
+    from genpose_tpu.models.energynet import PoseEnergyNet
+
+    tnet = ref["energynet"].PoseEnergyNet(
+        _ve_marginal(ref), "rot_matrix", "Rx_Ry_and_T", device="cpu",
+        energy_mode=energy_mode, s_theta_mode=s_theta_mode,
+        norm_energy=norm_energy)
+    _randomize(tnet, seed=5)
+    tnet.eval()
+
+    rng = np.random.RandomState(9)
+    pts_feat = rng.randn(5, 1024).astype(np.float32)
+    pose = rng.randn(5, 9).astype(np.float32)
+    t = rng.uniform(1e-3, 1.0, (5, 1)).astype(np.float32)
+    data = {
+        "pts_feat": torch.from_numpy(pts_feat),
+        "sampled_pose": torch.from_numpy(pose),
+        "t": torch.from_numpy(t),
+    }
+    with torch.no_grad():
+        t_energy = tnet(data, return_item="energy").numpy()
+    if norm_energy == "std":
+        # Reference bug (energynet.py:192-193 with the non-decoupled [bs]
+        # energy of the score path): dividing a [bs] energy by a [bs,1] std
+        # silently broadcasts to [bs,bs], inflating the autograd score of
+        # sample i by sigma_i * sum_j 1/sigma_j.  This framework normalizes
+        # per sample (the intended semantics; see PARITY.md).  Compare at
+        # bs=1 where the broadcast is the identity.
+        t_score = np.concatenate([
+            tnet({k: v[i:i + 1] for k, v in data.items()},
+                 return_item="score").detach().numpy()
+            for i in range(pose.shape[0])
+        ], axis=0)
+    else:
+        t_score = tnet(data, return_item="score").detach().numpy()
+
+    sde = init_sde("ve")
+    jnet = PoseEnergyNet(marginal_prob_fn=sde.marginal_prob,
+                         pose_mode="rot_matrix",
+                         regression_head="Rx_Ry_and_T",
+                         energy_mode=energy_mode, s_theta_mode=s_theta_mode,
+                         norm_energy=norm_energy)
+    template = jnet.init(jax.random.PRNGKey(0), jnp.asarray(pts_feat),
+                         jnp.asarray(pose), jnp.asarray(t))
+    trunk_p, _ = port_trunk(tnet.state_dict(), "",
+                            regression_head="Rx_Ry_and_T")
+    jax.tree_util.tree_map(lambda a, b: None, template["params"]["trunk"], trunk_p)
+    variables = {"params": {"trunk": trunk_p}}
+
+    j_energy = np.asarray(jnet.apply(
+        variables, jnp.asarray(pts_feat), jnp.asarray(pose), jnp.asarray(t),
+        decoupled_rt=True))
+    if j_energy.ndim == 1 and t_energy.shape == (len(pose), len(pose)):
+        # same reference broadcast bug in the DAE/L2 energy path: the [bs]
+        # energy divided by the [bs,1] std returns the full [bs,bs] outer
+        # matrix; its diagonal is the intended per-sample value
+        t_energy = np.diag(t_energy)
+    np.testing.assert_allclose(j_energy, t_energy, rtol=1e-4, atol=2e-4)
+
+    # score = grad of summed (non-decoupled) energy w.r.t. pose
+    # (ref energynet.py:210-215)
+    def energy_sum(p):
+        e = jnet.apply(variables, jnp.asarray(pts_feat), p, jnp.asarray(t),
+                       decoupled_rt=False)
+        return jnp.sum(e)
+
+    j_score = np.asarray(jax.grad(energy_sum)(jnp.asarray(pose)))
+    np.testing.assert_allclose(j_score, t_score, rtol=5e-4, atol=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# ranking / sorting parity
+# ---------------------------------------------------------------------------
+
+def test_ranking_loss_parity(ref):
+    from genpose_tpu.training.ranking import ranking_loss, sort_results
+
+    rng = np.random.RandomState(21)
+    energy = rng.randn(4, 7, 2).astype(np.float32)
+    metrics = np.abs(rng.randn(4, 7, 2)).astype(np.float32)
+
+    t_sorted = ref["reward"].sort_results(
+        torch.from_numpy(energy), torch.from_numpy(metrics))
+    t_loss = float(ref["reward"].ranking_loss(t_sorted))
+
+    j_sorted = sort_results(jnp.asarray(energy), jnp.asarray(metrics))
+    np.testing.assert_allclose(np.asarray(j_sorted), t_sorted.numpy(),
+                               rtol=0, atol=0)
+    j_loss = float(ranking_loss(j_sorted))
+    assert abs(j_loss - t_loss) < 1e-6
+
+
+def test_sort_poses_by_energy_parity(ref):
+    from genpose_tpu.training.ranking import sort_poses_by_energy
+
+    rng = np.random.RandomState(22)
+    poses = rng.randn(3, 6, 9).astype(np.float32)
+    energy = rng.randn(3, 6, 2).astype(np.float32)
+
+    t_poses, t_energy = ref["reward"].sort_poses_by_energy(
+        torch.from_numpy(poses).clone(), torch.from_numpy(energy))
+    j_poses, j_energy = sort_poses_by_energy(jnp.asarray(poses),
+                                             jnp.asarray(energy))
+    np.testing.assert_allclose(np.asarray(j_energy), t_energy.numpy(), atol=0)
+    np.testing.assert_allclose(np.asarray(j_poses), t_poses.numpy(), atol=0)
+
+
+# ---------------------------------------------------------------------------
+# full-model port (GFObjectPose state_dict -> flax variables)
+# ---------------------------------------------------------------------------
+
+def test_full_gf_state_dict_port(ref):
+    """Port a full torch GFObjectPose (pointnet2 encoder + score head) onto
+    the flax model and check head forward parity.  The torch encoder cannot
+    run here (compiled CUDA ops), but every encoder weight is mapped and
+    shape-checked against the flax template."""
+    import types
+
+    posenet_mod = import_reference("networks.posenet")
+    cfg = types.SimpleNamespace(
+        device="cpu", pts_encoder="pointnet2", pose_mode="rot_matrix",
+        regression_head="Rx_Ry_and_T", posenet_mode="score",
+        energy_mode="IP", s_theta_mode="score", norm_energy="identical",
+        num_points=1024, sampling_steps=500, sde_mode="ve",
+    )
+    prior_fn, marginal_prob_fn, sde_fn, eps, T = ref["sde"].init_sde("ve")
+    tnet = posenet_mod.GFObjectPose(cfg, prior_fn, marginal_prob_fn, sde_fn,
+                                    eps, T)
+    _randomize(tnet, seed=17)
+    tnet.eval()
+    sd = tnet.state_dict()
+
+    from genpose_tpu.models.posenet import GFObjectPose
+
+    sde = init_sde("ve")
+    jnet = GFObjectPose(marginal_prob_fn=sde.marginal_prob,
+                        pose_mode="rot_matrix",
+                        regression_head="Rx_Ry_and_T", posenet_mode="score",
+                        pts_encoder="pointnet2", pointnet2_params="light",
+                        num_points=64)
+    key = jax.random.PRNGKey(0)
+    pts = jax.random.normal(key, (2, 64, 3)) * 0.1
+    pose = jax.random.normal(key, (2, 9))
+    t = jnp.full((2, 1), 0.5)
+    template = jnet.init(key, pts, pose, t, train=False)
+
+    variables = port_gf_state_dict(sd, template, pts_encoder="pointnet2",
+                                   regression_head="Rx_Ry_and_T")
+
+    # head forward parity with the ported full-model variables
+    rng = np.random.RandomState(23)
+    pts_feat = rng.randn(4, 1024).astype(np.float32)
+    pose_np = rng.randn(4, 9).astype(np.float32)
+    t_np = rng.uniform(1e-3, 1.0, (4, 1)).astype(np.float32)
+    with torch.no_grad():
+        t_out = tnet({
+            "pts_feat": torch.from_numpy(pts_feat),
+            "sampled_pose": torch.from_numpy(pose_np),
+            "t": torch.from_numpy(t_np),
+        }, mode="score").numpy()
+    j_out = np.asarray(jnet.apply(
+        variables, jnp.asarray(pts_feat), jnp.asarray(pose_np),
+        jnp.asarray(t_np), method=GFObjectPose.score))
+    np.testing.assert_allclose(j_out, t_out, rtol=1e-4, atol=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# compute_mAP parity
+# ---------------------------------------------------------------------------
+
+def _random_rot(rng) -> np.ndarray:
+    from scipy.spatial.transform import Rotation as R
+
+    return R.random(random_state=rng).as_matrix()
+
+
+def _make_scene(rng, n_instances: int, K: int = 5, descending_scores=True):
+    """One NOCS-style result dict consumed by both compute_mAP versions."""
+    cls_ids, gt_RTs, gt_scales, gt_hv, gt_bboxes = [], [], [], [], []
+    pred_ids, multi_RTs, energies, pred_scales, pred_scores, pred_bboxes = (
+        [], [], [], [], [], [])
+    for i in range(n_instances):
+        cls_id = int(rng.randint(1, 7))
+        s = float(rng.uniform(0.8, 1.2))
+        Rm = _random_rot(rng)
+        tvec = rng.uniform(-0.3, 0.3, 3)
+        sRT = np.eye(4)
+        sRT[:3, :3] = s * Rm
+        sRT[:3, 3] = tvec
+        cls_ids.append(cls_id)
+        gt_RTs.append(sRT)
+        gt_scales.append(rng.uniform(0.05, 0.3, 3))
+        gt_hv.append(int(rng.randint(0, 2)))
+        y1, x1 = rng.randint(0, 300, 2)
+        box = np.array([y1, x1, y1 + rng.randint(40, 120),
+                        x1 + rng.randint(40, 120)])
+        gt_bboxes.append(box)
+
+        # one prediction per GT: K noisy hypotheses around the GT
+        pred_ids.append(cls_id)
+        hyps = []
+        for _ in range(K):
+            from scipy.spatial.transform import Rotation as R
+
+            dR = R.from_rotvec(rng.randn(3) * 0.05).as_matrix()
+            dT = rng.randn(3) * 0.01
+            h = np.eye(4)
+            h[:3, :3] = s * (Rm @ dR)
+            h[:3, 3] = tvec + dT
+            hyps.append(h)
+        multi_RTs.append(np.stack(hyps))
+        energies.append(np.sort(rng.randn(K, 2), axis=0)[::-1])
+        pred_scales.append(gt_scales[-1] * rng.uniform(0.9, 1.1))
+        pred_bboxes.append(box + rng.randint(-5, 5, 4))
+        pred_scores.append(0.0)  # filled below
+
+    n_pred = len(pred_ids)
+    if descending_scores:
+        scores = np.linspace(0.99, 0.5, n_pred)
+    else:
+        scores = rng.uniform(0.5, 0.99, n_pred)
+    return {
+        "gt_class_ids": np.array(cls_ids, np.int32),
+        "gt_RTs": np.stack(gt_RTs),
+        "gt_scales": np.stack(gt_scales),
+        "gt_handle_visibility": np.array(gt_hv, np.int32),
+        "gt_bboxes": np.stack(gt_bboxes),
+        "pred_class_ids": np.array(pred_ids, np.int32),
+        "multi_hypothesis_pred_RTs": np.stack(multi_RTs),
+        "energy": np.ascontiguousarray(np.stack(energies)),
+        "pred_scales": np.stack(pred_scales),
+        "pred_scores": scores,
+        "pred_bboxes": np.stack(pred_bboxes),
+    }
+
+
+@pytest.mark.parametrize("pooling_mode", ["average", "nearest"])
+def test_compute_mAP_parity(ref, tmp_path, pooling_mode):
+    from genpose_tpu.eval.nocs_eval import compute_mAP as j_compute_mAP
+
+    rng = np.random.RandomState(31)
+    scenes = [_make_scene(rng, n_instances=int(rng.randint(2, 5)))
+              for _ in range(4)]
+
+    kwargs = dict(
+        degree_thresholds=[5, 10], shift_thresholds=[2, 5, 10],
+        iou_3d_thresholds=[0.1, 0.25], iou_pose_thres=0.1,
+        use_matches_for_pose=True, repeat_num=5,
+        pooling_mode=pooling_mode, ratio=0.6, ranker="energy_ranker",
+    )
+    ref_out = str(tmp_path / "ref")
+    my_out = str(tmp_path / "mine")
+    import os
+
+    os.makedirs(ref_out), os.makedirs(my_out)
+    t_iou, t_pose, t_iou_acc, t_pose_acc = ref["sgpa"].compute_mAP(
+        [dict(s) for s in scenes], ref_out, **kwargs)
+    j_iou, j_pose, j_iou_acc, j_pose_acc = j_compute_mAP(
+        [dict(s) for s in scenes], my_out, **kwargs)
+
+    np.testing.assert_allclose(j_iou, t_iou, atol=1e-9)
+    np.testing.assert_allclose(j_pose, t_pose, atol=1e-9)
+    np.testing.assert_allclose(j_iou_acc, t_iou_acc, atol=1e-9)
+    np.testing.assert_allclose(j_pose_acc, t_pose_acc, atol=1e-9)
+    # sanity: near-GT hypotheses must actually score (not trivially 0 == 0)
+    assert t_pose[-1].max() > 0.5
+
+
+def test_2d_match_deviation_documented(ref):
+    """The reference sorts pred_class_ids/scores by score inside
+    ``compute_2d_IoU_matches`` but forgets to reorder pred_bboxes
+    (``sgpa_utils.py:489-494``), so with unsorted scores it matches box i's
+    IoU against box order instead of score order.  This framework sorts the
+    bboxes too (PARITY.md deviation).  Equivalence proof: our matcher on
+    unsorted input == the reference's on pre-sorted input."""
+    from genpose_tpu.eval.nocs_eval import compute_2d_IoU_matches as mine
+
+    rng = np.random.RandomState(41)
+    gt_ids = np.array([1, 1, 2], np.int32)
+    gt_boxes = np.array([[0, 0, 50, 50], [60, 60, 120, 120], [10, 200, 80, 260]])
+    pred_ids = np.array([1, 1, 2, 1], np.int32)
+    pred_boxes = np.array(
+        [[58, 58, 118, 118], [2, 2, 52, 52], [12, 198, 78, 258],
+         [5, 5, 45, 45]])
+    scores = np.array([0.6, 0.9, 0.8, 0.7])  # NOT descending
+    thres = [0.1, 0.5]
+
+    order = np.argsort(scores)[::-1]
+    t_gt, t_pred, _, _ = ref["sgpa"].compute_2d_IoU_matches(
+        gt_ids, gt_boxes, pred_ids[order], pred_boxes[order], scores[order],
+        thres)
+    j_gt, j_pred, _, j_idx = mine(gt_ids, gt_boxes, pred_ids, pred_boxes,
+                                  scores, thres)
+    np.testing.assert_array_equal(j_gt, t_gt)
+    np.testing.assert_array_equal(j_pred, t_pred)
+    np.testing.assert_array_equal(j_idx, order)
