@@ -280,6 +280,38 @@ def port_gf_state_dict(
     return out
 
 
+def port_checkpoint_file(
+    input_path: str,
+    output_dir: str,
+    cfg,
+    posenet_mode: str = "score",
+    epoch: Optional[int] = None,
+) -> str:
+    """Convert a reference ``.pth`` checkpoint into an orbax checkpoint
+    loadable by :func:`genpose_tpu.training.checkpoints.load_checkpoint`.
+
+    The reference saves the EMA-swapped weights as the model weights
+    (``posenet_agent.py:124-126``), so the ported params populate BOTH the
+    live params and the EMA shadow.  Returns the written checkpoint path.
+    """
+    from genpose_tpu.training.agent import PoseAgent
+    from genpose_tpu.training.checkpoints import save_checkpoint
+
+    sd, clock = load_torch_checkpoint(input_path)
+    agent = PoseAgent(cfg, posenet_mode)
+    variables = port_gf_state_dict(
+        sd, agent.state.variables, pts_encoder=cfg.pts_encoder,
+        regression_head=cfg.regression_head)
+    state = agent.state.replace(
+        params=variables["params"],
+        batch_stats=variables.get("batch_stats", agent.state.batch_stats),
+        ema=agent.state.ema.replace(shadow=variables["params"]),
+    )
+    if epoch is None:
+        epoch = int(clock["epoch"]) if clock and "epoch" in clock else 0
+    return save_checkpoint(output_dir, state, epoch, clock=clock)
+
+
 def load_torch_checkpoint(path: str) -> Tuple[Dict[str, np.ndarray], Optional[dict]]:
     """Read a reference ``.pth`` checkpoint -> (numpy state_dict, clock).
 

@@ -455,6 +455,74 @@ def test_compute_mAP_parity(ref, tmp_path, pooling_mode):
     assert t_pose[-1].max() > 0.5
 
 
+def test_port_torch_ckpt_roundtrip(ref, tmp_path):
+    """torch .pth -> tools/port_torch_ckpt.py -> orbax -> load_checkpoint:
+    the loaded agent's head must reproduce the torch forward (VERDICT item 5;
+    ref ``posenet_agent.py:117-173`` is what the .pth contains)."""
+    import sys
+    import types
+
+    posenet_mod = import_reference("networks.posenet")
+    cfg_t = types.SimpleNamespace(
+        device="cpu", pts_encoder="pointnet2", pose_mode="rot_matrix",
+        regression_head="Rx_Ry_and_T", posenet_mode="score",
+        energy_mode="IP", s_theta_mode="score", norm_energy="identical",
+        num_points=1024, sampling_steps=500, sde_mode="ve",
+    )
+    prior_fn, marginal_prob_fn, sde_fn, eps, T = ref["sde"].init_sde("ve")
+    tnet = posenet_mod.GFObjectPose(cfg_t, prior_fn, marginal_prob_fn, sde_fn,
+                                    eps, T)
+    _randomize(tnet, seed=29)
+    tnet.eval()
+    pth = tmp_path / "ckpt_epoch7.pth"
+    torch.save({
+        "clock": {"epoch": 7, "minibatch": 0, "step": 1234},
+        "model_state_dict": tnet.state_dict(),
+    }, str(pth))
+
+    sys.path.insert(0, "/root/repo/tools")
+    try:
+        import port_torch_ckpt
+    finally:
+        sys.path.pop(0)
+    out_dir = str(tmp_path / "orbax")
+    ckpt_path = port_torch_ckpt.main([
+        "--input", str(pth), "--output", out_dir,
+        "--posenet_mode", "score", "--num_points", "64",
+    ])
+    assert ckpt_path.endswith("ckpt_epoch7")
+
+    from genpose_tpu.config import Config
+    from genpose_tpu.models.posenet import GFObjectPose
+    from genpose_tpu.training.agent import PoseAgent
+    from genpose_tpu.training.checkpoints import load_checkpoint, load_clock
+
+    agent = PoseAgent(Config(num_points=64), "score")
+    agent.state = load_checkpoint(ckpt_path, agent.state,
+                                  load_model_only=True)
+    clock = load_clock(out_dir)
+    assert clock["epoch"] == 7 and clock["step"] == 1234
+
+    rng = np.random.RandomState(37)
+    pts_feat = rng.randn(3, 1024).astype(np.float32)
+    pose_np = rng.randn(3, 9).astype(np.float32)
+    t_np = rng.uniform(1e-3, 1.0, (3, 1)).astype(np.float32)
+    with torch.no_grad():
+        t_out = tnet({
+            "pts_feat": torch.from_numpy(pts_feat),
+            "sampled_pose": torch.from_numpy(pose_np),
+            "t": torch.from_numpy(t_np),
+        }, mode="score").numpy()
+    # the .pth holds EMA-swapped weights -> they must land in BOTH the live
+    # params and the EMA shadow (posenet_agent.py:124-126)
+    for params in (agent.state.params, agent.state.ema.shadow):
+        j_out = np.asarray(agent.model.apply(
+            {"params": params, "batch_stats": agent.state.batch_stats},
+            jnp.asarray(pts_feat), jnp.asarray(pose_np), jnp.asarray(t_np),
+            method=GFObjectPose.score))
+        np.testing.assert_allclose(j_out, t_out, rtol=1e-4, atol=2e-4)
+
+
 def test_2d_match_deviation_documented(ref):
     """The reference sorts pred_class_ids/scores by score inside
     ``compute_2d_IoU_matches`` but forgets to reorder pred_bboxes
