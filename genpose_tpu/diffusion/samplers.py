@@ -118,6 +118,146 @@ def ode_sampler(
     return None, x
 
 
+# Dormand-Prince 5(4) tableau (what scipy's solve_ivp RK45 uses;
+# ref integrates with it at atol=rtol=1e-5, ``samplers.py:205``)
+_DP_C = (0.0, 1.0 / 5, 3.0 / 10, 4.0 / 5, 8.0 / 9, 1.0)
+_DP_A = (
+    (),
+    (1.0 / 5,),
+    (3.0 / 40, 9.0 / 40),
+    (44.0 / 45, -56.0 / 15, 32.0 / 9),
+    (19372.0 / 6561, -25360.0 / 2187, 64448.0 / 6561, -212.0 / 729),
+    (9017.0 / 3168, -355.0 / 33, 46732.0 / 5247, 49.0 / 176, -5103.0 / 18656),
+)
+_DP_B = (35.0 / 384, 0.0, 500.0 / 1113, 125.0 / 192, -2187.0 / 6784, 11.0 / 84)
+# error coefficients incl. the FSAL 7th stage
+_DP_E = (71.0 / 57600, 0.0, -71.0 / 16695, 71.0 / 1920, -17253.0 / 339200,
+         22.0 / 525, -1.0 / 40)
+
+_RK_SAFETY, _RK_MIN_FACTOR, _RK_MAX_FACTOR = 0.9, 0.2, 10.0
+
+
+def ode_sampler_adaptive(
+    score_fn: Callable,
+    key: jax.Array,
+    batch_size: int,
+    sde: SDE,
+    pose_mode: str = "rot_matrix",
+    atol: float = 1e-5,
+    rtol: float = 1e-5,
+    T0: Optional[float] = None,
+    init_x: Optional[jnp.ndarray] = None,
+    pts_center: Optional[jnp.ndarray] = None,
+    denoise: bool = True,
+    max_steps: int = 2000,
+    return_stats: bool = False,
+):
+    """Adaptive PF-ODE sampler: Dormand-Prince RK45 with scipy's PI step
+    controller as a bounded ``lax.while_loop`` (ref ``cond_ode_sampler``,
+    ``samplers.py:163-227``, which calls scipy ``solve_ivp`` host-side and
+    round-trips device<->host per step; this stays on device).
+
+    Semantics mirror scipy RK45: RMS error norm over the WHOLE flattened
+    batch state with scale ``atol + rtol*max(|y|,|y_new|)`` (one shared step
+    size for the batch, exactly like the reference's flattened solve), the
+    Hairer initial-step heuristic, FSAL, and factor clamps [0.2, 10] with
+    safety 0.9.  ``max_steps`` bounds the loop for XLA (scipy's released
+    eval at atol/rtol 1e-5 uses ~60-200 steps).
+
+    Returns (None, x [bs, d]) or, with ``return_stats``,
+    (None, x, {"n_steps", "t_final"}).
+    """
+    pose_dim = get_pose_dim(pose_mode)
+    T = sde.T if T0 is None else T0
+    eps = sde.eps
+    if pts_center is None:
+        pts_center = jnp.zeros((batch_size, 3))
+
+    prior_sample = sde.prior(key, (batch_size, pose_dim), T=T)
+    x0 = prior_sample if init_x is None else init_x + prior_sample
+
+    def ode_dx(x, t):
+        drift, diffusion = sde.sde(t)
+        t_vec = jnp.full((1, 1), t)
+        return drift - 0.5 * (diffusion**2) * score_fn(x, t_vec)
+
+    def _rms(v):
+        return jnp.sqrt(jnp.mean(v**2))
+
+    # ---- initial step (scipy _select_initial_step, direction = -1) ----
+    f0 = ode_dx(x0, jnp.asarray(T))
+    scale0 = atol + rtol * jnp.abs(x0)
+    d0 = _rms(x0 / scale0)
+    d1 = _rms(f0 / scale0)
+    h0 = jnp.where((d0 < 1e-5) | (d1 < 1e-5), 1e-6, 0.01 * d0 / d1)
+    y1 = x0 - h0 * f0  # backward direction
+    f1 = ode_dx(y1, T - h0)
+    d2 = _rms((f1 - f0) / scale0) / h0
+    h1 = jnp.where(
+        (d1 <= 1e-15) & (d2 <= 1e-15),
+        jnp.maximum(1e-6, h0 * 1e-3),
+        (0.01 / jnp.maximum(d1, d2)) ** 0.2,
+    )
+    h_init = jnp.minimum(jnp.minimum(100.0 * h0, h1), T - eps)
+
+    def attempt_step(x, f, t, h):
+        """One DP45 step of size -h (backward). Returns (x_new, f_new, err_norm)."""
+        ks = [f]
+        for i in range(1, 6):
+            dx = sum(a * k for a, k in zip(_DP_A[i], ks))
+            ks.append(ode_dx(x - h * dx, t - _DP_C[i] * h))
+        dy = sum(b * k for b, k in zip(_DP_B, ks))
+        x_new = x - h * dy
+        f_new = ode_dx(x_new, t - h)  # FSAL stage
+        err = sum(e * k for e, k in zip(_DP_E, ks + [f_new])) * (-h)
+        scale = atol + rtol * jnp.maximum(jnp.abs(x), jnp.abs(x_new))
+        return x_new, f_new, _rms(err / scale)
+
+    def cond(carry):
+        t, x, f, h, rejected, n, done = carry
+        return jnp.logical_and(~done, n < max_steps)
+
+    def body(carry):
+        t, x, f, h, rejected, n, done = carry
+        h = jnp.minimum(h, t - eps)  # never step past the end
+        x_new, f_new, err = attempt_step(x, f, t, h)
+        accept = err <= 1.0
+        factor = jnp.where(
+            err == 0.0,
+            _RK_MAX_FACTOR,
+            jnp.clip(_RK_SAFETY * err**-0.2, _RK_MIN_FACTOR, _RK_MAX_FACTOR),
+        )
+        # scipy: a step following a rejection may not grow
+        factor = jnp.where(accept & rejected, jnp.minimum(factor, 1.0), factor)
+        t_next = jnp.where(accept, t - h, t)
+        x_next = jnp.where(accept, x_new, x)
+        f_next = jnp.where(accept, f_new, f)
+        h_next = h * factor
+        done_next = accept & (t - h <= eps + 1e-12)
+        return (t_next, x_next, f_next, h_next, ~accept, n + 1, done_next)
+
+    t_f, x, _, _, _, n_steps, done = jax.lax.while_loop(
+        cond, body,
+        (jnp.asarray(T), x0, f0, h_init, jnp.asarray(False),
+         jnp.asarray(0, jnp.int32), jnp.asarray(False)),
+    )
+
+    if denoise:
+        # reverse-diffusion predictor at eps with the reference's adaptive
+        # step size (1-eps)/1000 (samplers.py:216); correct-sign backward
+        # step as in ode_sampler
+        t_vec = jnp.full((1, 1), eps)
+        drift, diffusion = sde.sde(jnp.asarray(eps))
+        grad = score_fn(x, t_vec)
+        x = x + (diffusion**2 * grad - drift) * ((1.0 - eps) / 1000.0)
+
+    rot = normalize_rotation(x[:, :-3], pose_mode)
+    x = jnp.concatenate([rot, x[:, -3:] + pts_center], axis=-1)
+    if return_stats:
+        return None, x, {"n_steps": n_steps, "t_final": t_f, "converged": done}
+    return None, x
+
+
 def pc_sampler(
     score_fn: Callable,
     key: jax.Array,

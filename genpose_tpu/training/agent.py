@@ -29,7 +29,12 @@ import jax.numpy as jnp
 
 from genpose_tpu.config import Config
 from genpose_tpu.diffusion.losses import dsm_loss_repeated
-from genpose_tpu.diffusion.samplers import ode_likelihood, ode_sampler, pc_sampler
+from genpose_tpu.diffusion.samplers import (
+    ode_likelihood,
+    ode_sampler,
+    ode_sampler_adaptive,
+    pc_sampler,
+)
 from genpose_tpu.diffusion.sde import init_sde
 from genpose_tpu.eval.metrics import pose_errors_jax
 from genpose_tpu.models.posenet import GFObjectPose
@@ -360,6 +365,15 @@ class PoseAgent:
                 score_fn, key, bs * repeat_num, self.sde, self.cfg.pose_mode,
                 num_steps=num_steps, T0=T0, init_x=init_rep,
                 pts_center=center_rep, return_process=return_process,
+            )
+        elif sampler == "ode_adaptive":
+            # reference-faithful adaptive RK45 at atol/rtol 1e-5 (the
+            # reference's released eval integrates adaptively,
+            # ``scripts/eval_single.sh`` sets no --sampling_steps)
+            assert not return_process, "ode_adaptive has no fixed trajectory"
+            process, res = ode_sampler_adaptive(
+                score_fn, key, bs * repeat_num, self.sde, self.cfg.pose_mode,
+                T0=T0, init_x=init_rep, pts_center=center_rep,
             )
         elif sampler == "pc":
             process, res = pc_sampler(

@@ -128,3 +128,144 @@ def test_edm_sampler_smoke():
                        pose_mode=POSE_MODE, num_steps=32)
     x = np.asarray(x)
     assert abs(x.std() - S_DATA) / S_DATA < 0.1
+
+
+# ---------------------------------------------------------------------------
+# adaptive RK45 (reference integrates adaptively: samplers.py:205 — t_eval
+# only subsamples; scripts/eval_single.sh sets no --sampling_steps)
+# ---------------------------------------------------------------------------
+
+def _perturbed_score_net(bs, seed=7, scale=0.05):
+    """A real (random) PoseScoreNet closure — adversarially rough dynamics."""
+    from genpose_tpu.models.scorenet import PoseScoreNet
+
+    sde = init_sde("ve")
+    net = PoseScoreNet(marginal_prob_fn=sde.marginal_prob)
+    key = jax.random.PRNGKey(0)
+    pts_feat = jax.random.normal(key, (bs, 1024)) * 0.5
+    v = net.init(key, pts_feat, jnp.zeros((bs, 9)), jnp.full((bs, 1), 0.5))
+    leaves, treedef = jax.tree_util.tree_flatten(v["params"])
+    keys = jax.random.split(jax.random.PRNGKey(seed), len(leaves))
+    leaves = [l + scale * jax.random.normal(k, l.shape)
+              for l, k in zip(leaves, keys)]
+    params = jax.tree_util.tree_unflatten(treedef, leaves)
+
+    def score_fn(x, t):
+        tb = jnp.broadcast_to(t, (x.shape[0], 1))
+        return net.apply({"params": params}, pts_feat, x, tb)
+
+    return sde, score_fn
+
+
+def test_adaptive_rk45_matches_scipy():
+    """ode_sampler_adaptive == scipy solve_ivp RK45 at atol/rtol 1e-5 on a
+    perturbed score net, at the released T0 settings (0.55 eval, 0.15
+    tracking).  This certifies the integrator against the reference's exact
+    solver (``samplers.py:205``)."""
+    from scipy import integrate
+
+    from genpose_tpu.diffusion.samplers import ode_sampler_adaptive
+    from genpose_tpu.ops.pose import normalize_rotation
+
+    bs = 6
+    sde, score_fn = _perturbed_score_net(bs)
+
+    for T0 in (0.15, 0.55):
+        k = jax.random.PRNGKey(3)
+        x0 = np.asarray(sde.prior(k, (bs, 9), T=T0))
+
+        def f(t, y):
+            x = jnp.asarray(y.reshape(bs, 9), jnp.float32)
+            drift, diff = sde.sde(jnp.asarray(t))
+            s = score_fn(x, jnp.full((1, 1), t, jnp.float32))
+            dx = float(drift) - 0.5 * float(diff) ** 2 * s
+            return np.asarray(dx).reshape(-1).astype(np.float64)
+
+        res = integrate.solve_ivp(f, (T0, sde.eps), x0.reshape(-1),
+                                  rtol=1e-5, atol=1e-5, method="RK45")
+        x_scipy = res.y[:, -1].reshape(bs, 9).astype(np.float32)
+        x_scipy = np.concatenate(
+            [np.asarray(normalize_rotation(jnp.asarray(x_scipy[:, :-3]),
+                                           "rot_matrix")), x_scipy[:, -3:]],
+            axis=-1)
+
+        _, x_mine, stats = ode_sampler_adaptive(
+            score_fn, k, bs, sde, T0=T0, denoise=False, return_stats=True)
+        assert bool(stats["converged"])
+        # same controller, same tolerances: agreement far inside 1e-5*scale
+        np.testing.assert_allclose(np.asarray(x_mine), x_scipy, atol=1e-4)
+
+
+def test_adaptive_rk45_gaussian_closed_form():
+    """Analytic Gaussian point-mass score from T0=1.0 (VE sigma spans
+    [0.01, 50]): x(eps) = mu + (x0-mu) * sigma(eps)/sigma(T).  Both the
+    adaptive sampler and Heun-500 must hit the closed form; this pins the
+    integrator budget in the well-posed regime."""
+    from genpose_tpu.diffusion.samplers import ode_sampler_adaptive
+
+    sde = init_sde("ve")
+    mu = jnp.asarray([0.3, -0.2, 0.5, 0.1, -0.4, 0.25])
+
+    def score_fn(x, t):
+        _, std = sde.marginal_prob(None, t)
+        return -(x - mu[None, :]) / (std ** 2 + 1e-12)
+
+    bs = 64
+    k = jax.random.PRNGKey(11)
+    x0 = sde.prior(k, (bs, 6), T=1.0)
+    _, s_eps = sde.marginal_prob(None, jnp.asarray(sde.eps))
+    _, s_T = sde.marginal_prob(None, jnp.asarray(1.0))
+    closed = np.asarray(mu[None, :] + (x0 - mu[None, :]) * (s_eps / s_T))
+
+    _, x_ad, stats = ode_sampler_adaptive(
+        score_fn, k, bs, sde, pose_mode=POSE_MODE, denoise=False,
+        return_stats=True)
+    assert bool(stats["converged"])
+    np.testing.assert_allclose(np.asarray(x_ad), closed, atol=2e-4)
+
+    _, x_heun = ode_sampler(score_fn, k, bs, sde, pose_mode=POSE_MODE,
+                            num_steps=500, integrator="heun", denoise=False)
+    np.testing.assert_allclose(np.asarray(x_heun), closed, atol=2e-3)
+
+
+def test_heun500_vs_adaptive_documented_gap():
+    """Measured decision record (VERDICT round-1 item 3): on an adversarial
+    random score net the Heun-500 endpoint deviates from the adaptive RK45
+    solution by up to ~2e-2 at T0=0.15 / ~3e-3 at T0=0.55 — fixed-step Heun
+    is NOT automatically inside the reference tolerance.  The agent therefore
+    exposes ``sampler='ode_adaptive'`` for exact protocol parity; Heun-500
+    remains the fast default.  (Trained score fields are contractive, far
+    tamer than this net — see the closed-form test above where Heun-500 is
+    within 2e-3.)"""
+    from genpose_tpu.diffusion.samplers import ode_sampler_adaptive
+
+    bs = 6
+    sde, score_fn = _perturbed_score_net(bs)
+    gaps = {}
+    for T0 in (0.15, 0.55):
+        k = jax.random.PRNGKey(3)
+        _, x_ad = ode_sampler_adaptive(score_fn, k, bs, sde, T0=T0,
+                                       denoise=False)
+        _, x_heun = ode_sampler(score_fn, k, bs, sde, num_steps=500, T0=T0,
+                                denoise=False)
+        gaps[T0] = float(jnp.max(jnp.abs(x_ad - x_heun)))
+    # pin the measured magnitudes (regression guard, not a parity claim)
+    assert gaps[0.15] < 5e-2 and gaps[0.55] < 1e-2, gaps
+
+
+def test_agent_sample_ode_adaptive():
+    """The agent dispatches sampler='ode_adaptive' inside one jit."""
+    from genpose_tpu.config import Config
+    from genpose_tpu.training.agent import PoseAgent
+
+    cfg = Config(num_points=64, repeat_num=2, batch_size=4)
+    agent = PoseAgent(cfg, "score", steps_per_epoch=4)
+    key = jax.random.PRNGKey(0)
+    batch = {
+        "zero_mean_pts": jax.random.normal(key, (4, 64, 3)) * 0.1,
+        "pts_center": jnp.zeros((4, 3)),
+    }
+    pred = agent.sample(batch, jax.random.PRNGKey(1), repeat_num=2,
+                        sampler="ode_adaptive", T0=0.55)
+    assert pred.shape == (4, 2, 9)
+    assert np.all(np.isfinite(np.asarray(pred)))
