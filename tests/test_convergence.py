@@ -1,0 +1,131 @@
+"""End-to-end learnability proof on a tiny synthetic task (VERDICT r1 item 4).
+
+The cheapest proxy for "the math is right end-to-end": train the real agent
+on a fixed 2-object dataset for a few hundred CPU steps and assert that
+
+- the DSM loss falls by a large factor,
+- the ODE-sampled translation error collapses and the rotation error drops
+  materially vs the untrained net (the reference trains 1900 GPU-epochs for
+  full convergence, ``scripts/train_score.sh``; this pins the *slope*),
+- energy training (DSM + ranking, ``posenet_agent.py:227-259``) drives the
+  ranking loss well below the random-ordering value of 1 and makes the
+  energy ordering agree with the GT-error ordering.
+
+Budget: ~2 min on the CI CPU mesh (measured).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from genpose_tpu.config import Config
+from genpose_tpu.ops.pose import get_rot_matrix
+from genpose_tpu.training.agent import PoseAgent
+
+N_OBJ = 2
+BS = 16
+N_PTS = 32
+
+
+@pytest.fixture(scope="module")
+def task():
+    key = jax.random.PRNGKey(0)
+    k1, k2 = jax.random.split(key)
+    base = jax.random.normal(k1, (N_OBJ, N_PTS, 3)) * 0.1
+    gt_pose = jax.random.normal(k2, (N_OBJ, 9))
+    gt_pose = gt_pose.at[:, -3:].multiply(0.05)
+    return base, gt_pose
+
+
+def _make_batch(task, key):
+    base, gt_pose = task
+    idx = jax.random.randint(key, (BS,), 0, N_OBJ)
+    batch = {
+        "zero_mean_pts": base[idx],
+        "zero_mean_gt_pose": gt_pose[idx],
+        "gt_pose": gt_pose[idx],
+        "pts_center": jnp.zeros((BS, 3)),
+        "id": jnp.zeros((BS,), jnp.int32),
+        "handle_visibility": jnp.ones((BS,), jnp.int32),
+    }
+    return batch, idx
+
+
+def _rot_err_deg(pred, gt):
+    R1 = get_rot_matrix(pred[:, :-3], "rot_matrix")
+    R2 = get_rot_matrix(gt[:, :-3], "rot_matrix")
+    tr = jnp.einsum("bij,bij->b", R1, R2)
+    return jnp.degrees(jnp.arccos(jnp.clip((tr - 1.0) / 2.0, -1.0, 1.0)))
+
+
+def _sample_errors(agent, task, n_steps=50):
+    base, gt_pose = task
+    batch, idx = _make_batch(task, jax.random.PRNGKey(999))
+    pred = agent.sample(batch, jax.random.PRNGKey(5), repeat_num=1,
+                        sampler="ode", num_steps=n_steps)[:, 0]
+    gt = gt_pose[idx]
+    rot = float(_rot_err_deg(pred, gt).mean())
+    trans = float(jnp.linalg.norm(pred[:, -3:] - gt[:, -3:], axis=-1).mean())
+    return rot, trans
+
+
+def test_score_training_converges(task):
+    cfg = Config(num_points=N_PTS, repeat_num=4, batch_size=BS,
+                 pts_encoder="pointnet", lr=2e-3, warmup=10)
+    agent = PoseAgent(cfg, "score", steps_per_epoch=1000)
+
+    rot0, trans0 = _sample_errors(agent, task)
+    key = jax.random.PRNGKey(3)
+    losses = []
+    for i in range(400):
+        k = jax.random.fold_in(key, i)
+        batch, _ = _make_batch(task, k)
+        losses.append(float(agent.train_step(batch, jax.random.fold_in(k, 1))["gf"]))
+    rot1, trans1 = _sample_errors(agent, task)
+
+    first, last = np.mean(losses[:10]), np.mean(losses[-10:])
+    # measured (seed-pinned): 8.8 -> 2.0; 82 -> 8.3; 127deg -> 81deg
+    assert last < 0.35 * first, (first, last)
+    assert trans1 < 0.2 * trans0, (trans0, trans1)
+    assert rot1 < rot0 - 25.0, (rot0, rot1)
+
+
+def test_energy_ranking_training_converges(task):
+    base, gt_pose = task
+    cfg = Config(num_points=N_PTS, repeat_num=2, batch_size=BS,
+                 pts_encoder="pointnet", lr=1e-3, warmup=10)
+    agent = PoseAgent(cfg, "energy", steps_per_epoch=1000)
+
+    K = 5
+    # candidates with a KNOWN quality ordering: per-hypothesis noise scale
+    # grows with k, so lower k == better pose
+    noise_scales = jnp.asarray([0.01, 0.05, 0.15, 0.4, 1.0])
+
+    def make_candidates(batch, key):
+        gt = batch["gt_pose"]
+        noise = jax.random.normal(key, (BS, K, 9)) * noise_scales[None, :, None]
+        return gt[:, None, :] + noise
+
+    key = jax.random.PRNGKey(11)
+    rank_losses = []
+    for i in range(120):
+        k = jax.random.fold_in(key, i)
+        batch, _ = _make_batch(task, k)
+        cands = make_candidates(batch, jax.random.fold_in(k, 1))
+        losses = agent.train_step_energy(batch, cands,
+                                         jax.random.fold_in(k, 2))
+        rank_losses.append(float(losses["ranking"]))
+
+    first, last = np.mean(rank_losses[:10]), np.mean(rank_losses[-10:])
+    # random ordering gives ~1.0; perfect gives ~0
+    assert last < 0.7, (first, last)
+    assert last < first - 0.15, (first, last)
+
+    # the learned energy must order candidates like the GT error does:
+    # rotation-energy of the best (k=0) hypothesis above the worst (k=4)
+    batch, _ = _make_batch(task, jax.random.PRNGKey(777))
+    cands = make_candidates(batch, jax.random.PRNGKey(778))
+    e = np.asarray(agent.get_energy(batch, cands, T=1e-5))  # [BS, K, 2]
+    frac_correct = np.mean(e[:, 0, 0] > e[:, -1, 0])
+    assert frac_correct > 0.8, frac_correct
