@@ -117,6 +117,10 @@ class Config:
     # ---- testing ----
     eval: bool = False
     pred: bool = False
+    # run PF-ODE log-likelihood evaluation of the GT poses over the test set
+    # (mode parity with the reference's 'likelihood' forward mode,
+    # ``networks/posenet.py:166-168``)
+    likelihood: bool = False
     model_name: Optional[str] = None
     eval_repeat_num: int = 50
     save_video: bool = False
@@ -132,6 +136,11 @@ class Config:
     score_model_dir: str = ""
     ranker: str = "energy_ranker"  # energy_ranker, gt_ranker or random
     pooling_mode: str = "nearest"  # nearest or average
+    # top-ratio hypothesis selection before pooling (ref hardcodes 0.6 at
+    # ``evaluation_single.py:534``); serving uses ``ratio``, the eval stage
+    # sweeps ``eval_ratios``
+    ratio: float = 0.6
+    eval_ratios: Tuple[float, ...] = (0.6,)
 
     # ---- nested parameter groups ----
     dzi: DynamicZoomInConfig = field(default_factory=DynamicZoomInConfig)

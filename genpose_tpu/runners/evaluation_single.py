@@ -392,7 +392,7 @@ def evaluate(cfg: Config, inference_res_dir: str,
     os.makedirs(save_path["inference_res_dir"], exist_ok=True)
 
     headline = None
-    for ratio in [0.6]:
+    for ratio in (float(r) for r in cfg.eval_ratios):
         print(f"pooling_mode: {cfg.pooling_mode}, ranker: {cfg.ranker}, "
               f"ratio: {ratio}")
         iou_aps, pose_aps, iou_acc, pose_acc = compute_mAP(

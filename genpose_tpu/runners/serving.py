@@ -44,8 +44,7 @@ class InferencePipeline:
         self.cfg = cfg
         self.bs = batch_size or cfg.batch_size
         self.K = cfg.eval_repeat_num
-        self.keep = max(1, int(cfg.ratio * self.K)) if getattr(
-            cfg, "ratio", None) else max(1, int(0.6 * self.K))
+        self.keep = max(1, int(cfg.ratio * self.K))
         self.mesh = mesh
 
         self.score_agent = PoseAgent(cfg, "score", mesh=mesh)

@@ -89,6 +89,7 @@ def train_score(cfg: Config, train_loader, val_loader, agent: PoseAgent,
     logger = MetricsLogger(log_dir)
     clock = agent.clock = getattr(agent, "clock", TrainClock())
     key = jax.random.PRNGKey(cfg.seed)
+    last_saved = -1
 
     for epoch in range(clock.epoch, cfg.n_epochs + 1):
         t_epoch = time.time()
@@ -140,6 +141,12 @@ def train_score(cfg: Config, train_loader, val_loader, agent: PoseAgent,
                               clock.epoch)
             save_checkpoint(ckpt_dir, agent.state, clock.epoch,
                             clock.make_checkpoint())
+            last_saved = clock.epoch
+    # always leave a final checkpoint: a run with n_epochs < eval_freq would
+    # otherwise write none at all (round-1 VERDICT weak point 6)
+    if last_saved != clock.epoch:
+        save_checkpoint(ckpt_dir, agent.state, clock.epoch,
+                        clock.make_checkpoint())
     logger.close()
 
 
@@ -156,6 +163,7 @@ def train_energy(cfg: Config, train_loader, val_loader, energy_agent: PoseAgent,
     logger = MetricsLogger(log_dir)
     clock = energy_agent.clock = getattr(energy_agent, "clock", TrainClock())
     key = jax.random.PRNGKey(cfg.seed + 1)
+    last_saved = -1
 
     for epoch in range(clock.epoch, cfg.n_epochs + 1):
         for raw in train_loader:
@@ -173,6 +181,10 @@ def train_energy(cfg: Config, train_loader, val_loader, energy_agent: PoseAgent,
         if clock.epoch % cfg.eval_freq == 0:
             save_checkpoint(ckpt_dir, energy_agent.state, clock.epoch,
                             clock.make_checkpoint())
+            last_saved = clock.epoch
+    if last_saved != clock.epoch:
+        save_checkpoint(ckpt_dir, energy_agent.state, clock.epoch,
+                        clock.make_checkpoint())
     logger.close()
 
 
@@ -233,6 +245,40 @@ def inference(cfg: Config, test_loader, agent: PoseAgent):
     with open(results_path, "wb") as f:
         pickle.dump(results, f)
     return results_path
+
+
+def likelihood_eval(cfg: Config, test_loader, agent: PoseAgent):
+    """PF-ODE log-likelihood of the GT poses over the test set (CLI parity
+    with the reference's 'likelihood' forward mode, ``posenet.py:166-168`` /
+    ``cond_ode_likelihood``).  Writes per-sample bits + summary json."""
+    key = jax.random.PRNGKey(cfg.seed + 3)
+    all_bits, all_ids = [], []
+    for index, raw in enumerate(test_loader):
+        if index > cfg.max_eval_num:
+            break
+        key, k = jax.random.split(key)
+        batch = process_batch(raw, cfg.pose_mode)
+        _, bits = agent.likelihood(batch, batch["zero_mean_gt_pose"], k,
+                                   num_steps=cfg.sampling_steps)
+        all_bits.append(np.asarray(bits))
+        all_ids.append(np.asarray(batch["id"]))
+    bits = np.concatenate(all_bits)
+    ids = np.concatenate(all_ids)
+    summary = {"mean_bits": float(bits.mean()),
+               "median_bits": float(np.median(bits)),
+               "n": int(bits.shape[0])}
+    for cls_id in np.unique(ids):
+        name = cfg.synset_names[int(cls_id)] if int(cls_id) < len(
+            cfg.synset_names) else str(int(cls_id))
+        summary[f"mean_bits/{name}"] = float(bits[ids == cls_id].mean())
+    save_path = os.path.join("results", "inference_results", cfg.log_dir,
+                             f"{cfg.test_source}_likelihood")
+    os.makedirs(save_path, exist_ok=True)
+    with open(os.path.join(save_path, "likelihood.json"), "w") as f:
+        json.dump(summary, f, indent=1)
+    print(f"LIKELIHOOD mean {summary['mean_bits']:.3f} bits "
+          f"(median {summary['median_bits']:.3f}, n={summary['n']})")
+    return summary
 
 
 def evaluation(cfg: Config):
@@ -370,7 +416,7 @@ def main(argv=None):
         return
 
     mesh = _maybe_mesh(cfg)
-    if not (cfg.eval or cfg.pred):
+    if not (cfg.eval or cfg.pred or cfg.likelihood):
         loaders = get_data_loaders_from_cfg(cfg, ["train", "val", "test"])
         train_loader, val_loader, test_loader = (
             loaders["train_loader"], loaders["val_loader"], loaders["test_loader"])
@@ -423,6 +469,14 @@ def main(argv=None):
         print("Start inference ...")
         inference(cfg, test_loader, tr_agent)
         print("Inference finished")
+        return
+
+    if cfg.likelihood:
+        if cfg.model_name and cfg.pretrained_score_model_path:
+            _load_pretrained(tr_agent, cfg.pretrained_score_model_path)
+        print("Start likelihood evaluation ...")
+        likelihood_eval(cfg, test_loader, tr_agent)
+        print("Likelihood evaluation finished")
         return
 
     if cfg.pred:
