@@ -52,3 +52,23 @@ def test_predict_chunks_long_batches(pipe):
     out = pipe.predict(pts, key=jax.random.PRNGKey(3))
     assert out["pred_pose"].shape == (9, 7)
     assert np.isfinite(out["pred_pose"]).all()
+
+
+def test_predict_under_mesh_matches_unsharded(pipe):
+    """The full serving pipeline under the 8-device dp mesh returns the same
+    poses as the single-device pipeline (same seeds, global reductions)."""
+    from genpose_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(8)
+    cfg = Config(num_points=64, batch_size=8, eval_repeat_num=3,
+                 sampling_steps=4, T0=0.55)
+    sharded = InferencePipeline(cfg, mesh=mesh)
+    plain = InferencePipeline(cfg)
+
+    rng = np.random.default_rng(7)
+    pts = rng.normal(size=(8, 64, 3)).astype(np.float32) * 0.1
+    out_s = sharded.predict(pts, key=jax.random.PRNGKey(3))
+    out_p = plain.predict(pts, key=jax.random.PRNGKey(3))
+    for k in out_p:
+        assert np.isfinite(out_s[k]).all()
+        np.testing.assert_allclose(out_s[k], out_p[k], rtol=2e-4, atol=2e-4)
