@@ -71,8 +71,18 @@ def main():
     # one jitted end-to-end pipeline = one dispatch per iteration (what a
     # serving deployment would run); stage-per-call dispatch overhead is a
     # tunnel artifact, not device time.
+    #
+    # The carry threads the previous result into this iteration's input so
+    # the device must serialize iterations; on the tunneled TPU backend,
+    # block_until_ready over a chain of independent in-flight dispatches
+    # returns early and over-reports throughput by >10x.  The bump lives
+    # INSIDE the jit: computing it with eager ops costs ~60 ms/iteration of
+    # serialized tunnel RPCs (round-2 finding) — host overhead, not device
+    # time.
     @jax.jit
-    def full_inference(score_state, energy_state, batch, key):
+    def full_inference(score_state, energy_state, batch, key, carry):
+        bump = 1e-12 * jnp.sum(carry)
+        batch = {k: v + bump for k, v in batch.items()}
         pred = score_agent._sample_impl(score_state, batch, key, repeat_num=K,
                                         sampler="ode", num_steps=steps, T0=0.55)
         t_in = jnp.full((bs, K), 1e-5)
@@ -83,13 +93,8 @@ def main():
         return avg
 
     def chained(batch, key, carry):
-        # thread the previous result into this iteration's input so the
-        # device must serialize iterations; on the tunneled TPU backend,
-        # block_until_ready over a chain of independent in-flight dispatches
-        # returns early and over-reports throughput by >10x.
-        bump = 1e-12 * jnp.sum(carry)
-        b = {k: v + bump for k, v in batch.items()}
-        return full_inference(score_agent.state, energy_agent.state, b, key)
+        return full_inference(score_agent.state, energy_agent.state, batch,
+                              key, carry)
 
     # warmup / compile, fully synced via a host copy (block_until_ready
     # alone is unreliable over the tunnel)
