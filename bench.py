@@ -2,10 +2,15 @@
 
 Workload = the reference's eval configuration (BASELINE.md): a batch of
 segmented object point clouds -> PointNet++ encoding -> K=50 pose
-hypotheses via the 500-step PF-ODE sampler -> EnergyNet scoring ->
-energy sort + top-60% quaternion-average pooling.  Everything after the
-host->device copy is jitted; "poses" = object instances, each with K=50
-candidates (the reference counts the same way).
+hypotheses via the PF-ODE sampler -> EnergyNet scoring -> energy sort +
+top-60% quaternion-average pooling.  Everything after the host->device
+copy is jitted; "poses" = object instances, each with K=50 candidates
+(the reference counts the same way).
+
+The default integrator is the on-device adaptive RK45 at atol/rtol 1e-5 —
+the reference's released eval path (``scripts/eval_single.sh`` sets no
+``--sampling_steps``, so ``samplers.py:205`` integrates adaptively).  Set
+BENCH_SAMPLER=ode for the fixed-step Heun-``BENCH_STEPS`` variant.
 
 Baseline: the reference publishes NO throughput numbers (BASELINE.md).  The
 ``vs_baseline`` field is measured against an ESTIMATE of the torch reference
@@ -36,6 +41,7 @@ def main():
     K = int(os.environ.get("BENCH_K", "50"))
     steps = int(os.environ.get("BENCH_STEPS", "500"))
     iters = int(os.environ.get("BENCH_ITERS", "3"))
+    sampler = os.environ.get("BENCH_SAMPLER", "ode_adaptive")
 
     cfg = Config(num_points=1024, eval_repeat_num=K, sampling_steps=steps,
                  batch_size=bs, compute_dtype="bfloat16")
@@ -83,10 +89,14 @@ def main():
     def full_inference(score_state, energy_state, batch, key, carry):
         bump = 1e-12 * jnp.sum(carry)
         batch = {k: v + bump for k, v in batch.items()}
+        # weight-independent FPS/ball-query geometry, shared by both encoders
+        geom = score_agent.pts_geometry(batch["zero_mean_pts"])
         pred = score_agent._sample_impl(score_state, batch, key, repeat_num=K,
-                                        sampler="ode", num_steps=steps, T0=0.55)
+                                        sampler=sampler, num_steps=steps,
+                                        T0=0.55, geometry=geom)
         t_in = jnp.full((bs, K), 1e-5)
-        energy = energy_agent._get_energy_impl(energy_state, batch, pred, t_in)
+        energy = energy_agent._get_energy_impl(energy_state, batch, pred, t_in,
+                                               geometry=geom)
         sorted_pose, _ = sort_poses_by_energy(pred, energy)
         keep = max(1, int(0.6 * K))
         _, avg = score_agent.aggregate_hypotheses(sorted_pose[:, :keep])
@@ -108,8 +118,9 @@ def main():
     dt = time.perf_counter() - t0
 
     poses_per_sec = bs * iters / dt
+    tag = "rk45" if sampler == "ode_adaptive" else f"ode{steps}"
     print(json.dumps({
-        "metric": "inference_poses_per_sec_K50_ode500",
+        "metric": f"inference_poses_per_sec_K{K}_{tag}",
         "value": round(poses_per_sec, 2),
         "unit": "poses/s",
         "vs_baseline": round(poses_per_sec / BASELINE_POSES_PER_SEC, 2),

@@ -99,6 +99,50 @@ CLS_MSG_CONFIGS: Dict[str, Dict[str, Any]] = {
 }
 
 
+def sa_geometry(xyz, npoint, radii, nsamples):
+    """Weight-independent geometry of one SA stage.
+
+    Everything here — FPS centers, per-radius ball-query indices, centered
+    grouped coordinates — is a pure function of the input COORDINATES, not of
+    any network parameter.  At inference the score net and the energy net
+    encode the SAME point cloud with different weights, so a pipeline can
+    compute this once and feed it to both encoders (see
+    ``PoseAgent.pts_geometry``), halving the FPS/ball-query/grouping cost.
+
+    Returns ``{"new_xyz", "gidx": [per radius], "grouped_xyz": [per radius]}``
+    with ``new_xyz``/``gidx`` None for the GroupAll stage (npoint=None, ref
+    ``pointnet2_utils.py:268-291``).
+    """
+    if npoint is None:
+        return {"new_xyz": None, "gidx": [None for _ in radii],
+                "grouped_xyz": [xyz[:, None, :, :] for _ in radii]}
+    idx = farthest_point_sample(xyz, npoint)
+    new_xyz = gather_points(xyz, idx)  # [B, npoint, 3]
+    gidx, grouped_xyz = [], []
+    for radius, nsample in zip(radii, nsamples):
+        gi = ball_query(radius, nsample, xyz, new_xyz)
+        gidx.append(gi)
+        grouped_xyz.append(group_points(xyz, gi) - new_xyz[:, :, None, :])
+    return {"new_xyz": new_xyz, "gidx": gidx, "grouped_xyz": grouped_xyz}
+
+
+def cls_msg_geometry(pointcloud, config: str = "light"):
+    """Per-stage :func:`sa_geometry` list for :class:`Pointnet2ClsMSG`.
+
+    The coordinate chain (xyz -> FPS centers -> ...) never depends on
+    features/weights, so the whole list is encoder-parameter-free.
+    """
+    params = CLS_MSG_CONFIGS[config]
+    xyz = pointcloud[..., :3]
+    geoms = []
+    for k in range(len(params["NPOINTS"])):
+        g = sa_geometry(xyz, params["NPOINTS"][k], params["RADIUS"][k],
+                        params["NSAMPLE"][k])
+        geoms.append(g)
+        xyz = g["new_xyz"]  # None after the final GroupAll stage
+    return geoms
+
+
 class PointnetSAModuleMSG(nn.Module):
     """Multi-scale-grouping set abstraction (ref ``pointnet2_modules.py:10-93``).
 
@@ -116,42 +160,31 @@ class PointnetSAModuleMSG(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, xyz, features, train: bool = False):
+    def __call__(self, xyz, features, train: bool = False, geometry=None):
         """xyz: [B, N, 3]; features: [B, N, C] or None.
+
+        ``geometry``: optional precomputed :func:`sa_geometry` result (shared
+        across encoders); computed inline when None.  Bit-identical either way
+        (gathers are exact; XLA CSEs the duplicated one-hot inline).
 
         Returns (new_xyz [B, npoint, 3] or None, new_features [B, npoint, sum C_out]).
         """
-        if self.npoint is not None:
-            idx = farthest_point_sample(xyz, self.npoint)
-            new_xyz = gather_points(xyz, idx)  # [B, npoint, 3]
-        else:
-            new_xyz = None
-
-        # one gather per radius: xyz and features are concatenated first so
-        # grouping moves a single [B, N, 3+C] source (halves gather count
-        # and gives the Pallas matmul-gather a wide row to chew on)
-        src = (jnp.concatenate([xyz, features], axis=-1)
-               if features is not None else xyz)
+        if geometry is None:
+            geometry = sa_geometry(xyz, self.npoint, self.radii, self.nsamples)
+        new_xyz = geometry["new_xyz"]
 
         outs = []
-        for i, (radius, nsample, mlp) in enumerate(
-            zip(self.radii, self.nsamples, self.mlps)
-        ):
+        for i, mlp in enumerate(self.mlps):
+            grouped_xyz = geometry["grouped_xyz"][i]
             if self.npoint is not None:
-                gidx = ball_query(radius, nsample, xyz, new_xyz)
-                grouped = group_points(src, gidx)
-                grouped_xyz = grouped[..., :3] - new_xyz[:, :, None, :]
                 if features is not None:
-                    g = (
-                        jnp.concatenate([grouped_xyz, grouped[..., 3:]], axis=-1)
-                        if self.use_xyz
-                        else grouped[..., 3:]
-                    )
+                    gf = group_points(features, geometry["gidx"][i])
+                    g = (jnp.concatenate([grouped_xyz, gf], axis=-1)
+                         if self.use_xyz else gf)
                 else:
                     g = grouped_xyz  # [B, npoint, nsample, 3]
             else:
                 # GroupAll: one group containing every point.
-                grouped_xyz = xyz[:, None, :, :]  # [B, 1, N, 3]
                 if features is not None:
                     g = (
                         jnp.concatenate([grouped_xyz, features[:, None]], axis=-1)
@@ -281,8 +314,12 @@ class Pointnet2ClsMSG(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, pointcloud, train: bool = False):
-        """pointcloud: [B, N, 3 + input_channels] -> [B, 1024]."""
+    def __call__(self, pointcloud, train: bool = False, geometry=None):
+        """pointcloud: [B, N, 3 + input_channels] -> [B, 1024].
+
+        ``geometry``: optional precomputed :func:`cls_msg_geometry` list
+        (weight-independent; shareable across encoders on the same cloud).
+        """
         params = CLS_MSG_CONFIGS[self.config]
         xyz = pointcloud[..., :3]
         features = pointcloud[..., 3:] if pointcloud.shape[-1] > 3 else None
@@ -299,7 +336,8 @@ class Pointnet2ClsMSG(nn.Module):
                 bn_axis_name=self.bn_axis_name,
                 dtype=self.dtype,
                 name=f"sa_{k}",
-            )(xyz, features, train=train)
+            )(xyz, features, train=train,
+              geometry=None if geometry is None else geometry[k])
             xyz = xyz_new
 
         # final stage has npoint None -> [B, 1, C]; squeeze like the

@@ -81,14 +81,21 @@ class GFObjectPose(nn.Module):
         else:
             raise NotImplementedError(self.posenet_mode)
 
-    def encode_pts(self, pts, train: bool = False):
-        """pts [bs, N, 3] -> pts_feat [bs, 1024] (ref ``posenet.py:71-91``)."""
+    def encode_pts(self, pts, train: bool = False, geometry=None):
+        """pts [bs, N, 3] -> pts_feat [bs, 1024] (ref ``posenet.py:71-91``).
+
+        ``geometry``: optional precomputed ``cls_msg_geometry`` list for the
+        PointNet++ stages (weight-independent — a pipeline running several
+        encoders on the same cloud computes it once; see
+        ``PoseAgent.pts_geometry``).  Ignored by the plain PointNet encoder.
+        """
         if self.pts_encoder == "pointnet":
             return self.encoder(pts, train=train)
         if self.pts_encoder == "pointnet2":
-            return self.encoder(pts, train=train)
+            return self.encoder(pts, train=train, geometry=geometry)
         feat = jnp.concatenate(
-            [self.encoder_pn(pts, train=train), self.encoder_pn2(pts, train=train)],
+            [self.encoder_pn(pts, train=train),
+             self.encoder_pn2(pts, train=train, geometry=geometry)],
             axis=-1,
         )
         return nn.relu(self.fusion_layer(feat))

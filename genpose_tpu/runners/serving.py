@@ -62,6 +62,7 @@ class InferencePipeline:
             self.energy_agent.state = replicate(mesh, self.energy_agent.state)
 
         K, keep, steps, T0 = (self.K, self.keep, cfg.sampling_steps, cfg.T0)
+        sampler = cfg.sampler_mode[0] if cfg.sampler_mode else "ode"
         score_agent, energy_agent = self.score_agent, self.energy_agent
 
         @jax.jit
@@ -71,12 +72,15 @@ class InferencePipeline:
                 "zero_mean_pts": pts.at[:, :, :3].add(-center[:, None, :]),
                 "pts_center": center,
             }
+            # FPS/ball-query/grouping geometry is weight-independent: compute
+            # it once and share it between the score and energy encoders
+            geom = score_agent.pts_geometry(batch["zero_mean_pts"])
             pred = score_agent._sample_impl(
-                score_state, batch, key, repeat_num=K, sampler="ode",
-                num_steps=steps, T0=T0)
+                score_state, batch, key, repeat_num=K, sampler=sampler,
+                num_steps=steps, T0=T0, geometry=geom)
             t_in = jnp.full((pts.shape[0], K), 1e-5)
             energy = energy_agent._get_energy_impl(
-                energy_state, batch, pred, t_in)
+                energy_state, batch, pred, t_in, geometry=geom)
             sorted_pose, sorted_energy = sort_poses_by_energy(pred, energy)
             pred_q, avg = score_agent.aggregate_hypotheses(
                 sorted_pose[:, :keep])

@@ -122,21 +122,35 @@ class PoseAgent:
     # internals
     # ------------------------------------------------------------------
 
-    def _encode_and_score_fn(self, params, batch_stats, pts, train: bool):
+    def _encode_and_score_fn(self, params, batch_stats, pts, train: bool,
+                             geometry=None):
         """Encode pts (once) and build score_fn over the cached feature."""
         variables = {"params": params, "batch_stats": batch_stats}
         if train:
             feat, mutated = self.model.apply(
-                variables, pts, train=True, method=GFObjectPose.encode_pts,
-                mutable=["batch_stats"],
+                variables, pts, train=True, geometry=geometry,
+                method=GFObjectPose.encode_pts, mutable=["batch_stats"],
             )
             new_stats = mutated["batch_stats"]
         else:
             feat = self.model.apply(
-                variables, pts, train=False, method=GFObjectPose.encode_pts
+                variables, pts, train=False, geometry=geometry,
+                method=GFObjectPose.encode_pts,
             )
             new_stats = batch_stats
         return feat, new_stats
+
+    def pts_geometry(self, pts):
+        """Weight-independent PointNet++ geometry (FPS + ball query + grouped
+        coords) of a cloud — compute ONCE per pipeline and pass to both the
+        score and energy agents' ``_sample_impl``/``_get_energy_impl``; it is
+        identical for every encoder since it depends only on coordinates.
+        Returns None for encoders without a geometry pass."""
+        if self.cfg.pts_encoder in ("pointnet2", "pointnet_and_pointnet2"):
+            from genpose_tpu.models.pointnet2 import cls_msg_geometry
+
+            return cls_msg_geometry(pts, self.cfg.pointnet2_params)
+        return None
 
     def _head_score_fn(self, params, batch_stats, feat):
         variables = {"params": params, "batch_stats": batch_stats}
@@ -345,13 +359,14 @@ class PoseAgent:
         init_x: Optional[jnp.ndarray] = None,
         use_ema: bool = True,
         return_process: bool = False,
+        geometry=None,
     ):
         """Returns pred_pose [bs, repeat_num, pose_dim] (original frame)."""
         params = state.ema.shadow if use_ema else state.params
         pts = batch["zero_mean_pts"]
         bs = pts.shape[0]
         feat, _ = self._encode_and_score_fn(params, state.batch_stats, pts,
-                                            train=False)
+                                            train=False, geometry=geometry)
         # fold K into the batch axis: [bs*K, ...]
         feat_rep = jnp.repeat(feat, repeat_num, axis=0)
         center_rep = jnp.repeat(batch["pts_center"], repeat_num, axis=0)
@@ -406,11 +421,13 @@ class PoseAgent:
     # ------------------------------------------------------------------
 
     def _get_energy_impl(self, state: TrainState, batch, pose_samples,
-                         t_input, train: bool = False, use_ema: bool = False):
+                         t_input, train: bool = False, use_ema: bool = False,
+                         geometry=None):
         params = state.ema.shadow if use_ema else state.params
         bs, K, _ = pose_samples.shape
         feat, _ = self._encode_and_score_fn(
-            params, state.batch_stats, batch["zero_mean_pts"], train=False
+            params, state.batch_stats, batch["zero_mean_pts"], train=False,
+            geometry=geometry,
         )
         feat_rep = jnp.repeat(feat, K, axis=0)
         centered = pose_samples.at[..., -3:].add(-batch["pts_center"][:, None, :])

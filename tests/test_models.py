@@ -106,6 +106,41 @@ def test_pointnet2_param_count_matches_reference():
     assert n_params(variables["batch_stats"]) == exp_stats
 
 
+def test_pointnet2_shared_geometry_is_exact():
+    """Precomputed weight-independent geometry (FPS + ball query + grouped
+    coords, shared across encoders in a pipeline) must reproduce the inline
+    path BIT-exactly — gathers are exact and the coordinate math is
+    identical."""
+    from genpose_tpu.models.pointnet2 import cls_msg_geometry
+
+    enc = Pointnet2ClsMSG(input_channels=0, config="light")
+    key = jax.random.PRNGKey(11)
+    pts = jax.random.normal(key, (2, 256, 3)) * 0.1
+    variables = enc.init(key, pts, train=False)
+
+    geom = jax.jit(lambda p: cls_msg_geometry(p, "light"))(pts)
+    f_inline = enc.apply(variables, pts, train=False)
+    f_shared = enc.apply(variables, pts, train=False, geometry=geom)
+    np.testing.assert_array_equal(np.asarray(f_inline), np.asarray(f_shared))
+
+    # and through the agent: sampling + energy with shared geometry match
+    from genpose_tpu.config import Config
+    from genpose_tpu.training.agent import PoseAgent
+
+    cfg = Config(num_points=64, sampling_steps=3, eval_repeat_num=2)
+    agent = PoseAgent(cfg, "score", steps_per_epoch=2)
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    pts = jax.random.normal(k1, (2, 64, 3)) * 0.1
+    batch = {"zero_mean_pts": pts - pts.mean(1, keepdims=True),
+             "pts_center": pts.mean(1)}
+    geom = agent.pts_geometry(batch["zero_mean_pts"])
+    a = agent._sample_impl(agent.state, batch, k2, repeat_num=2,
+                           sampler="ode", num_steps=3, T0=0.55)
+    b = agent._sample_impl(agent.state, batch, k2, repeat_num=2,
+                           sampler="ode", num_steps=3, T0=0.55, geometry=geom)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_pointnet2_permutation_invariance():
     """Global feature must be invariant to point ordering given identical
     sampling seeds... FPS depends on order, so test with a permutation that
