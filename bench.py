@@ -26,6 +26,13 @@ import os
 import time
 
 import jax
+
+# persistent compile cache: the pipeline takes minutes to compile on this
+# host; repeat runs (and the driver's) hit the cache instead
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("BENCH_CACHE", "/tmp/jax_bench_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import jax.numpy as jnp
 import numpy as np
 

@@ -21,6 +21,7 @@ from genpose_tpu.ops.pose import (  # noqa: F401
 )
 from genpose_tpu.ops.pointcloud import (  # noqa: F401
     ball_query,
+    ball_query_ref,
     farthest_point_sample,
     farthest_point_sample_ref,
     gather_points,

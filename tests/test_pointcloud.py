@@ -105,6 +105,26 @@ def test_ball_query_matches_numpy():
         np.testing.assert_array_equal(got, want)
 
 
+def test_ball_query_pallas_matches_ref():
+    """The Pallas ball-query kernel (interpret mode on CPU) is bit-exact
+    against the XLA oracle, incl. unaligned N/M and empty balls."""
+    from genpose_tpu.ops.ball_query_pallas import ball_query_pallas
+
+    rng = np.random.default_rng(7)
+    for (B, N, M), (radius, nsample) in [
+        ((2, 128, 16), (0.1, 8)),
+        ((1, 100, 9), (0.3, 16)),     # unaligned N and M
+        ((3, 257, 40), (0.02, 4)),    # mostly-empty balls
+    ]:
+        xyz = rng.uniform(size=(B, N, 3)).astype(np.float32)
+        new_xyz = xyz[:, :M] + rng.normal(size=(B, M, 3)).astype(np.float32) * 0.01
+        got = np.asarray(ball_query_pallas(radius, nsample, jnp.asarray(xyz),
+                                           jnp.asarray(new_xyz)))
+        want = np.asarray(pc.ball_query_ref(radius, nsample, jnp.asarray(xyz),
+                                            jnp.asarray(new_xyz)))
+        np.testing.assert_array_equal(got, want)
+
+
 def test_ball_query_empty_ball_is_zero():
     """No point in radius -> all-zero row (CUDA zero-init)."""
     xyz = jnp.asarray(np.array([[[10.0, 10, 10], [20, 20, 20]]], np.float32))
