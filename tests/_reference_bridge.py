@@ -134,12 +134,95 @@ def _make_transforms() -> types.ModuleType:
     return tr
 
 
+def _make_pointnet2_cuda() -> types.ModuleType:
+    """Functional pure-torch stand-in for the compiled CUDA extension, so the
+    reference PointNet++ encoder can RUN on CPU for full-forward golden
+    tests.  Each wrapper mirrors the in-place CUDA API
+    (``src/pointnet2_api.cpp:11-23``) and the kernel semantics:
+
+    - FPS: seed 0, m-1 rounds of min-dist update + argmax
+      (``sampling_gpu.cu:93-208``);
+    - ball query: first ``nsample`` in-ball indices in index order, first-hit
+      padding, zero rows for empty balls (``ball_query_gpu.cu:29-43``) —
+      via the same monotone-rank identity as ``ops/pointcloud.py``, which is
+      itself validated against a literal loop transcription in
+      ``tests/test_pointcloud.py::ball_query_numpy``;
+    - gather/group/three_nn/three_interpolate: plain gathers
+      (``sampling_gpu.cu:8-44``, ``group_points_gpu.cu``,
+      ``interpolate_gpu.cu``).
+    """
+    import torch
+
+    m = _ensure("pointnet2_cuda")
+
+    def furthest_point_sampling_wrapper(B, N, npoint, xyz, temp, idxs):
+        old = torch.zeros(B, dtype=torch.long)
+        idxs[:, 0] = 0
+        rows = torch.arange(B)
+        for j in range(1, npoint):
+            last = xyz[rows, old]  # (B, 3)
+            d = ((xyz - last[:, None, :]) ** 2).sum(-1)
+            torch.minimum(temp, d, out=temp)
+            old = temp.argmax(dim=1)
+            idxs[:, j] = old.to(torch.int32)
+
+    def gather_points_wrapper(B, C, N, npoint, features, idx, out):
+        out.copy_(torch.gather(
+            features, 2, idx.long().unsqueeze(1).expand(B, C, npoint)))
+
+    def ball_query_wrapper(B, N, npoint, radius, nsample, new_xyz, xyz, idx):
+        d2 = ((new_xyz[:, :, None, :] - xyz[:, None, :, :]) ** 2).sum(-1)
+        mask = d2 < radius * radius
+        ranks = mask.to(torch.int64).cumsum(-1)  # (B, M, N)
+        cnt = ranks[..., -1]
+        s = torch.arange(nsample)
+        sel = (ranks[:, :, None, :] <= s.view(1, 1, -1, 1)).sum(-1)
+        first = sel[..., :1]
+        pad = torch.where(cnt[..., None] > 0, first, torch.zeros_like(first))
+        out = torch.where(s.view(1, 1, -1) < cnt[..., None], sel, pad)
+        idx.copy_(out.to(torch.int32))
+
+    def group_points_wrapper(B, C, N, nfeat, nsample, features, idx, out):
+        flat = idx.long().reshape(B, 1, nfeat * nsample).expand(B, C, -1)
+        out.copy_(torch.gather(features, 2, flat)
+                  .reshape(B, C, nfeat, nsample))
+
+    def three_nn_wrapper(B, N, M, unknown, known, dist2, idx):
+        d2 = ((unknown[:, :, None, :] - known[:, None, :, :]) ** 2).sum(-1)
+        v, i = torch.topk(d2, 3, dim=-1, largest=False)
+        dist2.copy_(v)
+        idx.copy_(i.to(torch.int32))
+
+    def three_interpolate_wrapper(B, C, M, N, features, idx, weight, out):
+        flat = idx.long().reshape(B, 1, N * 3).expand(B, C, -1)
+        g = torch.gather(features, 2, flat).reshape(B, C, N, 3)
+        out.copy_((g * weight.unsqueeze(1)).sum(-1))
+
+    m.furthest_point_sampling_wrapper = furthest_point_sampling_wrapper
+    m.gather_points_wrapper = gather_points_wrapper
+    m.ball_query_wrapper = ball_query_wrapper
+    m.group_points_wrapper = group_points_wrapper
+    m.three_nn_wrapper = three_nn_wrapper
+    m.three_interpolate_wrapper = three_interpolate_wrapper
+    return m
+
+
 def install_stubs() -> None:
+    import torch
+
     ipdb = _ensure("ipdb")
     if not hasattr(ipdb, "set_trace"):
         ipdb.set_trace = lambda *a, **k: None
 
-    _ensure("pointnet2_cuda")  # never called: we only read parameters
+    _make_pointnet2_cuda()
+    if not torch.cuda.is_available():
+        # the reference wrappers allocate outputs via torch.cuda.* factories
+        # (``pointnet2_utils.py:26-27`` etc.); on CPU torch route them to
+        # host tensors so the stubbed extension can fill them
+        torch.cuda.FloatTensor = (
+            lambda *sizes: torch.empty(*sizes, dtype=torch.float32))
+        torch.cuda.IntTensor = (
+            lambda *sizes: torch.empty(*sizes, dtype=torch.int32))
 
     tv = _ensure("torchvision")
     tvu = _ensure("torchvision.utils")

@@ -353,6 +353,71 @@ def test_full_gf_state_dict_port(ref):
     np.testing.assert_allclose(j_out, t_out, rtol=1e-4, atol=2e-4)
 
 
+def test_full_forward_parity_with_encoder(ref):
+    """End-to-end golden test on RAW point clouds: the reference GFObjectPose
+    runs its real PointNet++ encoder (the compiled CUDA ops are re-implemented
+    in pure torch by ``_reference_bridge._make_pointnet2_cuda``) and the
+    flax model with ported weights must reproduce both the 1024-d pts feature
+    and the final score output.  This certifies the ENCODER numerics — FPS
+    selection, ball-query membership/padding, MSG per-radius concat order,
+    use_xyz centering, SharedMLP BN(eval) and max-pool — which the head-only
+    parity tests cannot see.  Ref: ``pointnet2.py:166-211``,
+    ``pointnet2_modules.py:10-93``, ``posenet.py:71-91``."""
+    import types
+
+    posenet_mod = import_reference("networks.posenet")
+    cfg = types.SimpleNamespace(
+        device="cpu", pts_encoder="pointnet2", pose_mode="rot_matrix",
+        regression_head="Rx_Ry_and_T", posenet_mode="score",
+        energy_mode="IP", s_theta_mode="score", norm_energy="identical",
+        num_points=1024, sampling_steps=500, sde_mode="ve",
+    )
+    prior_fn, marginal_prob_fn, sde_fn, eps, T = ref["sde"].init_sde("ve")
+    tnet = posenet_mod.GFObjectPose(cfg, prior_fn, marginal_prob_fn, sde_fn,
+                                    eps, T)
+    _randomize(tnet, seed=29)
+    tnet.eval()
+
+    rng = np.random.RandomState(31)
+    pts = (rng.randn(2, 1024, 3) * 0.1).astype(np.float32)
+    pose_np = rng.randn(2, 9).astype(np.float32)
+    t_np = rng.uniform(1e-3, 1.0, (2, 1)).astype(np.float32)
+
+    with torch.no_grad():
+        feat_t = tnet.extract_pts_feature({"pts": torch.from_numpy(pts)})
+        out_t = tnet({
+            "pts_feat": feat_t,
+            "sampled_pose": torch.from_numpy(pose_np),
+            "t": torch.from_numpy(t_np),
+        }, mode="score").numpy()
+        feat_t = feat_t.numpy()
+
+    from genpose_tpu.models.posenet import GFObjectPose
+
+    sde = init_sde("ve")
+    jnet = GFObjectPose(marginal_prob_fn=sde.marginal_prob,
+                        pose_mode="rot_matrix",
+                        regression_head="Rx_Ry_and_T", posenet_mode="score",
+                        pts_encoder="pointnet2", pointnet2_params="light",
+                        num_points=1024)
+    key = jax.random.PRNGKey(0)
+    template = jnet.init(key, jax.random.normal(key, (2, 64, 3)) * 0.1,
+                         jnp.zeros((2, 9)), jnp.full((2, 1), 0.5),
+                         train=False)
+    variables = port_gf_state_dict(tnet.state_dict(), template,
+                                   pts_encoder="pointnet2",
+                                   regression_head="Rx_Ry_and_T")
+
+    feat_j = np.asarray(jnet.apply(variables, jnp.asarray(pts), train=False,
+                                   method=GFObjectPose.encode_pts))
+    np.testing.assert_allclose(feat_j, feat_t, rtol=2e-3, atol=2e-3)
+
+    out_j = np.asarray(jnet.apply(variables, jnp.asarray(feat_j),
+                                  jnp.asarray(pose_np), jnp.asarray(t_np),
+                                  method=GFObjectPose.score))
+    np.testing.assert_allclose(out_j, out_t, rtol=2e-3, atol=2e-3)
+
+
 # ---------------------------------------------------------------------------
 # compute_mAP parity
 # ---------------------------------------------------------------------------
