@@ -54,6 +54,20 @@ def test_predict_chunks_long_batches(pipe):
     assert np.isfinite(out["pred_pose"]).all()
 
 
+def test_predict_with_adaptive_sampler():
+    """cfg.sampler_mode=('ode_adaptive',) routes the pipeline through the
+    reference-faithful adaptive RK45 (the bench.py default)."""
+    cfg = Config(num_points=64, batch_size=2, eval_repeat_num=2, T0=0.55,
+                 sampler_mode=("ode_adaptive",))
+    pipe_ad = InferencePipeline(cfg)
+    rng = np.random.default_rng(5)
+    pts = rng.normal(size=(2, 64, 3)).astype(np.float32) * 0.1
+    out = pipe_ad.predict(pts, key=jax.random.PRNGKey(9))
+    assert out["pred_pose"].shape == (2, 7)
+    for v in out.values():
+        assert np.isfinite(v).all()
+
+
 def test_predict_under_mesh_matches_unsharded(pipe):
     """The full serving pipeline under the 8-device dp mesh returns the same
     poses as the single-device pipeline (same seeds, global reductions)."""
