@@ -21,6 +21,7 @@ poses/sec end to end.  The north-star target is >10x that (>600 poses/sec).
 Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
+import functools
 import json
 import os
 import time
@@ -47,7 +48,7 @@ def main():
     bs = int(os.environ.get("BENCH_BATCH", "64"))
     K = int(os.environ.get("BENCH_K", "50"))
     steps = int(os.environ.get("BENCH_STEPS", "500"))
-    iters = int(os.environ.get("BENCH_ITERS", "3"))
+    iters = int(os.environ.get("BENCH_ITERS", "8"))
     sampler = os.environ.get("BENCH_SAMPLER", "ode_adaptive")
 
     cfg = Config(num_points=1024, eval_repeat_num=K, sampling_steps=steps,
@@ -81,22 +82,18 @@ def main():
         "pts_center": center,
     }
 
-    # one jitted end-to-end pipeline = one dispatch per iteration (what a
-    # serving deployment would run); stage-per-call dispatch overhead is a
-    # tunnel artifact, not device time.
-    #
-    # The carry threads the previous result into this iteration's input so
-    # the device must serialize iterations; on the tunneled TPU backend,
-    # block_until_ready over a chain of independent in-flight dispatches
-    # returns early and over-reports throughput by >10x.  The bump lives
-    # INSIDE the jit: computing it with eager ops costs ~60 ms/iteration of
-    # serialized tunnel RPCs (round-2 finding) — host overhead, not device
-    # time.
-    @jax.jit
-    def full_inference(score_state, energy_state, batch, key, carry):
-        bump = 1e-12 * jnp.sum(carry)
-        batch = {k: v + bump for k, v in batch.items()}
-        # weight-independent FPS/ball-query geometry, shared by both encoders
+    # One jitted program runs `iters` end-to-end pipelines chained through a
+    # data dependence (each iteration's input depends on the previous
+    # iteration's pooled poses), so the DEVICE must serialize them — honest
+    # per-iteration time.  The chain lives inside a fori_loop in ONE program
+    # because per-iteration dispatch over the tunneled backend costs a
+    # ~20-35 ms RPC (round-2 measurement: 3-dispatch chaining reads ~1830
+    # poses/s where the device actually sustains ~2840) — host/tunnel
+    # overhead a real deployment overlaps with compute, not device time.
+    # Timing is synced via a host copy (block_until_ready alone is
+    # unreliable over the tunnel), and heads are perturbed above so XLA
+    # cannot constant-fold the sampler.
+    def one_pipeline(score_state, energy_state, batch, key):
         geom = score_agent.pts_geometry(batch["zero_mean_pts"])
         pred = score_agent._sample_impl(score_state, batch, key, repeat_num=K,
                                         sampler=sampler, num_steps=steps,
@@ -109,18 +106,22 @@ def main():
         _, avg = score_agent.aggregate_hypotheses(sorted_pose[:, :keep])
         return avg
 
-    def chained(batch, key, carry):
-        return full_inference(score_agent.state, energy_agent.state, batch,
-                              key, carry)
+    @functools.partial(jax.jit, static_argnames=("n",))
+    def chained(score_state, energy_state, batch, key, n):
+        def it(i, carry):
+            b = {k: v + 1e-12 * jnp.sum(carry) for k, v in batch.items()}
+            return one_pipeline(score_state, energy_state, b,
+                                jax.random.fold_in(key, i))
+        return jax.lax.fori_loop(0, n, it, jnp.zeros((bs, 7)))
 
-    # warmup / compile, fully synced via a host copy (block_until_ready
-    # alone is unreliable over the tunnel)
-    out = chained(batch, jax.random.PRNGKey(0), jnp.zeros((bs, 7)))
+    # warmup / compile
+    out = chained(score_agent.state, energy_agent.state, batch,
+                  jax.random.PRNGKey(0), n=iters)
     np.asarray(out)
 
     t0 = time.perf_counter()
-    for i in range(iters):
-        out = chained(batch, jax.random.PRNGKey(i + 1), out)
+    out = chained(score_agent.state, energy_agent.state, batch,
+                  jax.random.PRNGKey(1), n=iters)
     np.asarray(out)
     dt = time.perf_counter() - t0
 
