@@ -99,7 +99,7 @@ CLS_MSG_CONFIGS: Dict[str, Dict[str, Any]] = {
 }
 
 
-def sa_geometry(xyz, npoint, radii, nsamples):
+def sa_geometry(xyz, npoint, radii, nsamples, dtype=jnp.float32):
     """Weight-independent geometry of one SA stage.
 
     Everything here — FPS centers, per-radius ball-query indices, centered
@@ -109,35 +109,48 @@ def sa_geometry(xyz, npoint, radii, nsamples):
     compute this once and feed it to both encoders (see
     ``PoseAgent.pts_geometry``), halving the FPS/ball-query/grouping cost.
 
+    ``dtype`` is the downstream COMPUTE dtype.  FPS, the ball query and
+    ``new_xyz`` always run in f32 — index selection must stay bit-exact —
+    but ``grouped_xyz`` only feeds the (bf16, in serving) SharedMLP, so for
+    bf16 the value gather runs on bf16-cast coordinates: selection of bf16
+    values is exact at a single MXU pass (3x faster than the 6-pass f32
+    HIGHEST gather; see ``one_hot_gather``), and the center subtraction
+    happens where the Dense would have rounded anyway.
+
     Returns ``{"new_xyz", "gidx": [per radius], "grouped_xyz": [per radius]}``
     with ``new_xyz``/``gidx`` None for the GroupAll stage (npoint=None, ref
     ``pointnet2_utils.py:268-291``).
     """
     if npoint is None:
         return {"new_xyz": None, "gidx": [None for _ in radii],
-                "grouped_xyz": [xyz[:, None, :, :] for _ in radii]}
+                "grouped_xyz": [xyz.astype(dtype)[:, None, :, :]
+                                for _ in radii]}
     idx = farthest_point_sample(xyz, npoint)
-    new_xyz = gather_points(xyz, idx)  # [B, npoint, 3]
+    new_xyz = gather_points(xyz, idx)  # [B, npoint, 3], f32
+    vals = xyz if dtype == xyz.dtype else xyz.astype(dtype)
+    centers = new_xyz if dtype == new_xyz.dtype else new_xyz.astype(dtype)
     gidx, grouped_xyz = [], []
     for radius, nsample in zip(radii, nsamples):
         gi = ball_query(radius, nsample, xyz, new_xyz)
         gidx.append(gi)
-        grouped_xyz.append(group_points(xyz, gi) - new_xyz[:, :, None, :])
+        grouped_xyz.append(group_points(vals, gi) - centers[:, :, None, :])
     return {"new_xyz": new_xyz, "gidx": gidx, "grouped_xyz": grouped_xyz}
 
 
-def cls_msg_geometry(pointcloud, config: str = "light"):
+def cls_msg_geometry(pointcloud, config: str = "light", dtype=jnp.float32):
     """Per-stage :func:`sa_geometry` list for :class:`Pointnet2ClsMSG`.
 
     The coordinate chain (xyz -> FPS centers -> ...) never depends on
     features/weights, so the whole list is encoder-parameter-free.
+    ``dtype`` must match the consuming encoders' compute dtype (see
+    :func:`sa_geometry`).
     """
     params = CLS_MSG_CONFIGS[config]
     xyz = pointcloud[..., :3]
     geoms = []
     for k in range(len(params["NPOINTS"])):
         g = sa_geometry(xyz, params["NPOINTS"][k], params["RADIUS"][k],
-                        params["NSAMPLE"][k])
+                        params["NSAMPLE"][k], dtype=dtype)
         geoms.append(g)
         xyz = g["new_xyz"]  # None after the final GroupAll stage
     return geoms
@@ -170,7 +183,8 @@ class PointnetSAModuleMSG(nn.Module):
         Returns (new_xyz [B, npoint, 3] or None, new_features [B, npoint, sum C_out]).
         """
         if geometry is None:
-            geometry = sa_geometry(xyz, self.npoint, self.radii, self.nsamples)
+            geometry = sa_geometry(xyz, self.npoint, self.radii, self.nsamples,
+                                   dtype=self.dtype)
         new_xyz = geometry["new_xyz"]
 
         outs = []

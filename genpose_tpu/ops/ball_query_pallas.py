@@ -87,8 +87,11 @@ def ball_query_pallas(radius: float, nsample: int, xyz: jnp.ndarray,
     B, N, _ = xyz.shape
     M = new_xyz.shape[1]
     n_pad = ((N + _LANES - 1) // _LANES) * _LANES
-    # keep ~4 (m_tile, n_pad) i32/f32 tiles well under VMEM
-    m_tile = max(_SUBLANES, min(_M_TILE, (4 << 20) // (4 * n_pad)
+    # keep ~4 (m_tile, n_pad) i32/f32 tiles well under VMEM; clamp to the
+    # (sublane-rounded) center count so small-M stages don't pad dead rows
+    m_round = ((M + _SUBLANES - 1) // _SUBLANES) * _SUBLANES
+    m_tile = max(_SUBLANES, min(_M_TILE, m_round,
+                                (4 << 20) // (4 * n_pad)
                                 // _SUBLANES * _SUBLANES))
     m_pad = ((M + m_tile - 1) // m_tile) * m_tile
 

@@ -78,8 +78,12 @@ def fps_pallas(xyz: jnp.ndarray, npoint: int) -> jnp.ndarray:
     n_pad = ((N + _LANES - 1) // _LANES) * _LANES
     m_pad = ((npoint + _LANES - 1) // _LANES) * _LANES
 
-    # keep ~6 (b_tile, n_pad) f32 tiles under a ~8MB VMEM budget
-    b_tile = max(_SUBLANES, min(_B_TILE, (8 << 20) // (6 * 4 * n_pad)
+    # keep ~6 (b_tile, n_pad) f32 tiles under a ~8MB VMEM budget; never let
+    # the tile exceed the (sublane-rounded) batch — a 256-row floor at B=64
+    # would pad 4x dead rows into every VPU op of every sequential round
+    b_round = ((B + _SUBLANES - 1) // _SUBLANES) * _SUBLANES
+    b_tile = max(_SUBLANES, min(_B_TILE, b_round,
+                                (8 << 20) // (6 * 4 * n_pad)
                                 // _SUBLANES * _SUBLANES))
     b_pad = ((B + b_tile - 1) // b_tile) * b_tile
 

@@ -94,14 +94,23 @@ def _row_gather(points: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
 
 
 def one_hot_gather(points: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
-    """Row gather expressed as a one-hot matmul (bit-exact; see _row_gather)."""
+    """Row gather expressed as a one-hot matmul (bit-exact; see _row_gather).
+
+    Precision is dtype-aware: f32 values need HIGHEST (6 bf16 MXU passes —
+    a single pass would round the gathered values to bf16), but for bf16
+    values a single DEFAULT pass is already exact (products are 1.0*v with
+    both factors bf16-representable, accumulated in f32) and measured ~3x
+    faster at encoder shapes (v5e: 3.33 vs 1.11 ms at B=64/N=1024/M=24576).
+    """
     B, N, _ = points.shape
     M = idx.shape[1]
+    precision = (jax.lax.Precision.HIGHEST if points.dtype == jnp.float32
+                 else jax.lax.Precision.DEFAULT)
 
     def oh_gather(i):
         onehot = jax.nn.one_hot(i, N, dtype=points.dtype)
         return jnp.einsum("bmn,bnc->bmc", onehot, points,
-                          precision=jax.lax.Precision.HIGHEST)
+                          precision=precision)
 
     n_chunks = 1
     while B * (M // n_chunks) * N * 4 > (2 << 30) and M % (n_chunks * 2) == 0:

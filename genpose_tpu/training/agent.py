@@ -149,7 +149,8 @@ class PoseAgent:
         if self.cfg.pts_encoder in ("pointnet2", "pointnet_and_pointnet2"):
             from genpose_tpu.models.pointnet2 import cls_msg_geometry
 
-            return cls_msg_geometry(pts, self.cfg.pointnet2_params)
+            return cls_msg_geometry(pts, self.cfg.pointnet2_params,
+                                    dtype=self.model.dtype)
         return None
 
     def _head_score_fn(self, params, batch_stats, feat):
