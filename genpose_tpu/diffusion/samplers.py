@@ -164,8 +164,15 @@ def ode_sampler_adaptive(
     safety 0.9.  ``max_steps`` bounds the loop for XLA (scipy's released
     eval at atol/rtol 1e-5 uses ~60-200 steps).
 
+    If ``max_steps`` is exhausted (pathological stiffness, e.g. an untrained
+    net near sigma_min) the mid-trajectory state is returned as-is — the
+    same contract as the reference, which takes ``res.y[:, -1]`` from
+    ``solve_ivp`` without checking ``res.status`` (``samplers.py:205-207``).
+    Callers that want to detect this pass ``return_stats=True`` and check
+    ``stats["converged"]``.
+
     Returns (None, x [bs, d]) or, with ``return_stats``,
-    (None, x, {"n_steps", "t_final"}).
+    (None, x, {"n_steps", "t_final", "converged"}).
     """
     pose_dim = get_pose_dim(pose_mode)
     T = sde.T if T0 is None else T0

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -110,12 +111,15 @@ def sa_geometry(xyz, npoint, radii, nsamples, dtype=jnp.float32):
     ``PoseAgent.pts_geometry``), halving the FPS/ball-query/grouping cost.
 
     ``dtype`` is the downstream COMPUTE dtype.  FPS, the ball query and
-    ``new_xyz`` always run in f32 — index selection must stay bit-exact —
-    but ``grouped_xyz`` only feeds the (bf16, in serving) SharedMLP, so for
-    bf16 the value gather runs on bf16-cast coordinates: selection of bf16
-    values is exact at a single MXU pass (3x faster than the 6-pass f32
-    HIGHEST gather; see ``one_hot_gather``), and the center subtraction
-    happens where the Dense would have rounded anyway.
+    ``new_xyz`` always run in f32 — index selection must stay bit-exact.
+    For bf16 the value gather runs at a single MXU pass (3x faster than the
+    6-pass f32 HIGHEST gather; see ``one_hot_gather``): the gathered
+    coordinates come out bf16-rounded (f32-accumulated), the center is then
+    subtracted in EXACT f32 and only the difference is cast to bf16 — one
+    rounded operand instead of two, roughly halving the cancellation error
+    on near-center offsets vs rounding both sides first.  (On non-TPU
+    backends the gather is a take_along_axis of exact f32 values, so the
+    bf16 result there is the cast of the exact difference.)
 
     Returns ``{"new_xyz", "gidx": [per radius], "grouped_xyz": [per radius]}``
     with ``new_xyz``/``gidx`` None for the GroupAll stage (npoint=None, ref
@@ -127,13 +131,14 @@ def sa_geometry(xyz, npoint, radii, nsamples, dtype=jnp.float32):
                                 for _ in radii]}
     idx = farthest_point_sample(xyz, npoint)
     new_xyz = gather_points(xyz, idx)  # [B, npoint, 3], f32
-    vals = xyz if dtype == xyz.dtype else xyz.astype(dtype)
-    centers = new_xyz if dtype == new_xyz.dtype else new_xyz.astype(dtype)
+    fast = dtype != xyz.dtype
+    prec = jax.lax.Precision.DEFAULT if fast else None
     gidx, grouped_xyz = [], []
     for radius, nsample in zip(radii, nsamples):
         gi = ball_query(radius, nsample, xyz, new_xyz)
         gidx.append(gi)
-        grouped_xyz.append(group_points(vals, gi) - centers[:, :, None, :])
+        g = group_points(xyz, gi, precision=prec) - new_xyz[:, :, None, :]
+        grouped_xyz.append(g.astype(dtype))
     return {"new_xyz": new_xyz, "gidx": gidx, "grouped_xyz": grouped_xyz}
 
 
@@ -179,6 +184,12 @@ class PointnetSAModuleMSG(nn.Module):
         ``geometry``: optional precomputed :func:`sa_geometry` result (shared
         across encoders); computed inline when None.  Bit-identical either way
         (gathers are exact; XLA CSEs the duplicated one-hot inline).
+
+        Coordinates and features are deliberately gathered SEPARATELY: a
+        fused one-hot gather of the concatenated [xyz | features] rows was
+        measured 15% SLOWER end-to-end on the v5e train step (176 vs 153 ms
+        at the reference config) — the width-3 f32 xyz gather takes a cheap
+        lowering that fusing into the wide 6-pass HIGHEST matmul destroys.
 
         Returns (new_xyz [B, npoint, 3] or None, new_features [B, npoint, sum C_out]).
         """

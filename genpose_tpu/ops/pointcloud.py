@@ -75,7 +75,8 @@ def farthest_point_sample(xyz: jnp.ndarray, npoint: int) -> jnp.ndarray:
 # Gather / group (plain XLA gathers; autodiff provides the scatter-add bwd)
 # ---------------------------------------------------------------------------
 
-def _row_gather(points: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+def _row_gather(points: jnp.ndarray, idx: jnp.ndarray,
+                precision=None) -> jnp.ndarray:
     """[B, N, C] gathered along axis 1 by [B, M] -> [B, M, C].
 
     On TPU the gather is a one-hot einsum: XLA fuses ``one_hot`` into the
@@ -90,22 +91,28 @@ def _row_gather(points: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     if jax.default_backend() != "tpu":
         return jnp.take_along_axis(points, idx[..., None].astype(jnp.int32),
                                    axis=1, mode="promise_in_bounds")
-    return one_hot_gather(points, idx)
+    return one_hot_gather(points, idx, precision)
 
 
-def one_hot_gather(points: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+def one_hot_gather(points: jnp.ndarray, idx: jnp.ndarray,
+                   precision=None) -> jnp.ndarray:
     """Row gather expressed as a one-hot matmul (bit-exact; see _row_gather).
 
-    Precision is dtype-aware: f32 values need HIGHEST (6 bf16 MXU passes —
-    a single pass would round the gathered values to bf16), but for bf16
-    values a single DEFAULT pass is already exact (products are 1.0*v with
-    both factors bf16-representable, accumulated in f32) and measured ~3x
-    faster at encoder shapes (v5e: 3.33 vs 1.11 ms at B=64/N=1024/M=24576).
+    Default precision is dtype-aware: f32 values need HIGHEST (6 bf16 MXU
+    passes — a single pass would round the gathered values to bf16), but for
+    bf16 values a single DEFAULT pass is already exact (products are 1.0*v
+    with both factors bf16-representable, accumulated in f32) and measured
+    ~3x faster at encoder shapes (v5e: 3.33 vs 1.11 ms at B=64/N=1024/
+    M=24576).  Pass ``precision`` explicitly to override — e.g. DEFAULT on
+    f32 values deliberately gathers bf16-rounded values (accumulated in f32)
+    at single-pass speed for consumers that will round to bf16 anyway.
     """
     B, N, _ = points.shape
     M = idx.shape[1]
-    precision = (jax.lax.Precision.HIGHEST if points.dtype == jnp.float32
-                 else jax.lax.Precision.DEFAULT)
+    if precision is None:
+        precision = (jax.lax.Precision.HIGHEST
+                     if points.dtype == jnp.float32
+                     else jax.lax.Precision.DEFAULT)
 
     def oh_gather(i):
         onehot = jax.nn.one_hot(i, N, dtype=points.dtype)
@@ -122,15 +129,17 @@ def one_hot_gather(points: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     return jnp.moveaxis(out, 0, 1).reshape(B, M, points.shape[2])
 
 
-def gather_points(points: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+def gather_points(points: jnp.ndarray, idx: jnp.ndarray,
+                  precision=None) -> jnp.ndarray:
     """points [B, N, C], idx [B, M] -> [B, M, C] (ref ``sampling_gpu.cu:8-24``)."""
-    return _row_gather(points, idx)
+    return _row_gather(points, idx, precision)
 
 
-def group_points(points: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+def group_points(points: jnp.ndarray, idx: jnp.ndarray,
+                 precision=None) -> jnp.ndarray:
     """points [B, N, C], idx [B, M, S] -> [B, M, S, C] (ref ``group_points_gpu.cu:47-86``)."""
     B, M, S = idx.shape
-    out = _row_gather(points, idx.reshape(B, M * S))
+    out = _row_gather(points, idx.reshape(B, M * S), precision)
     return out.reshape(B, M, S, points.shape[-1])
 
 

@@ -144,33 +144,32 @@ def test_pointnet2_shared_geometry_is_exact():
 def test_bf16_geometry_indices_match_f32():
     """The bf16 geometry fast path (single-pass value gathers) must select
     the SAME indices as f32 — FPS and ball-query distance math stays f32 —
-    and its grouped coords must equal the bf16-cast of the f32 grouped
-    coords' inputs (selection of bf16 values is exact)."""
+    and its grouped coords must equal the bf16 cast of the f32 grouped
+    coords.  (On CPU the gather is exact, so the cast IS the only rounding;
+    on TPU the single-pass gather additionally rounds the gathered operand,
+    bounded by one bf16 ulp of |xyz|.)"""
     from genpose_tpu.models.pointnet2 import cls_msg_geometry
-    from genpose_tpu.ops.pointcloud import group_points
 
     key = jax.random.PRNGKey(5)
     pts = jax.random.normal(key, (3, 256, 3)) * 0.1
     g32 = jax.jit(lambda p: cls_msg_geometry(p, "light", jnp.float32))(pts)
     g16 = jax.jit(lambda p: cls_msg_geometry(p, "light", jnp.bfloat16))(pts)
 
-    xyz = pts
     for s32, s16 in zip(g32, g16):
         if s32["new_xyz"] is not None:
             np.testing.assert_array_equal(np.asarray(s32["new_xyz"]),
                                           np.asarray(s16["new_xyz"]))
-        for i32, i16, gx16 in zip(s32["gidx"], s16["gidx"],
-                                  s16["grouped_xyz"]):
+        for i32, i16, gx32, gx16 in zip(s32["gidx"], s16["gidx"],
+                                        s32["grouped_xyz"],
+                                        s16["grouped_xyz"]):
             assert gx16.dtype == jnp.bfloat16
-            if i32 is None:
-                continue
-            np.testing.assert_array_equal(np.asarray(i32), np.asarray(i16))
-            # bf16 grouped coords == gather(bf16 xyz) - bf16 centers exactly
-            expect = (group_points(xyz.astype(jnp.bfloat16), i32)
-                      - s32["new_xyz"].astype(jnp.bfloat16)[:, :, None, :])
-            np.testing.assert_array_equal(np.asarray(gx16, dtype=np.float32),
-                                          np.asarray(expect, dtype=np.float32))
-        xyz = s32["new_xyz"]
+            if i32 is not None:
+                np.testing.assert_array_equal(np.asarray(i32),
+                                              np.asarray(i16))
+            # exact f32 difference, cast last (this test runs on CPU)
+            np.testing.assert_array_equal(
+                np.asarray(gx16, dtype=np.float32),
+                np.asarray(gx32.astype(jnp.bfloat16), dtype=np.float32))
 
 
 def test_pointnet2_permutation_invariance():
