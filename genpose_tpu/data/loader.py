@@ -93,21 +93,38 @@ class DataLoader:
         stop = threading.Event()
 
         def producer():
-            with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
-                for batch_idx in batches:
+            # The sentinel (or the worker exception, which the consumer
+            # re-raises) is ALWAYS enqueued — a dataset error must surface
+            # in the training loop, not leave the consumer blocked on
+            # q.get() forever (torch DataLoader propagates worker errors
+            # the same way).
+            err = None
+            try:
+                with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+                    for batch_idx in batches:
+                        if stop.is_set():
+                            break
+                        item = collate(
+                            list(pool.map(self.dataset.__getitem__, batch_idx)))
+                        # bounded put with a timeout so an abandoned iterator
+                        # (consumer stopped reading) can't block this thread
+                        # forever on a full queue
+                        while not stop.is_set():
+                            try:
+                                q.put(item, timeout=0.5)
+                                break
+                            except queue.Full:
+                                continue
+            except BaseException as e:  # noqa: BLE001 - forwarded to consumer
+                err = e
+            while True:
+                try:
+                    q.put(err if err is not None else sentinel, timeout=0.5)
+                    break
+                except queue.Full:
                     if stop.is_set():
                         break
-                    samples = list(pool.map(self.dataset.__getitem__, batch_idx))
-                    # bounded put with a timeout so an abandoned iterator
-                    # (consumer stopped reading) can't block this thread
-                    # forever on a full queue
-                    while not stop.is_set():
-                        try:
-                            q.put(collate(samples), timeout=0.5)
-                            break
-                        except queue.Full:
-                            continue
-            q.put(sentinel)
+                    continue
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
@@ -116,6 +133,8 @@ class DataLoader:
                 item = q.get()
                 if item is sentinel:
                     break
+                if isinstance(item, BaseException):
+                    raise item
                 yield item
         finally:
             # reached on exhaustion AND on GeneratorExit (caller broke out of
@@ -152,10 +171,18 @@ def get_data_loaders_from_cfg(cfg, data_type=("train", "val", "test")):
         elif percentage < 1.0:
             size = int(percentage * len(ds))
             indices = rng.permutation(len(ds))[:size]
+        # Train batches must be shape-stable: a ragged final batch both
+        # forces an XLA recompile of the train step and cannot be sharded
+        # over a dp mesh (axis 0 not divisible by the device count).  The
+        # reference's drop_last=False (``datasets_genpose.py:564``) is safe
+        # only because it is single-GPU eager torch.  Kept ragged when the
+        # dataset is smaller than one batch (tiny smoke runs).
+        n_idx = len(indices) if indices is not None else len(ds)
+        drop_last = mode == "train" and n_idx >= batch_size
         return DataLoader(
             ds, batch_size=batch_size, shuffle=(mode == "train"),
             num_workers=cfg.num_workers if mode == "train" else 1,
-            indices=indices, seed=cfg.seed,
+            drop_last=drop_last, indices=indices, seed=cfg.seed,
         )
 
     if "train" in data_type:

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import os
 import pickle
+import threading
 from typing import Dict, List, Optional
 
 import numpy as np
@@ -141,7 +142,15 @@ class NOCSDataset:
         self.per_obj = per_obj
         self.dzi_params = dzi_params or DynamicZoomInConfig()
         self.deform_2d_params = deform_2d_params or Deform2DConfig()
-        self.rng = np.random.default_rng(seed)
+        # Per-call generators derived from (seed, index, visit) — one shared
+        # Generator would make seeded runs irreproducible under the threaded
+        # loader (draw ORDER depends on thread interleaving even though
+        # numpy's per-call lock keeps each draw atomic).  The visit counter
+        # gives fresh augmentation draws every epoch, deterministically:
+        # each epoch visits each index once, so visit == epoch number.
+        self.seed = seed
+        self._visits: Dict[int, int] = {}
+        self._visit_lock = threading.Lock()
 
         img_list_path = ["CAMERA/train_list.txt", "Real/train_list.txt",
                          "CAMERA/val_list.txt", "Real/test_list.txt"]
@@ -218,14 +227,18 @@ class NOCSDataset:
         return self.length
 
     def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
+        with self._visit_lock:
+            visit = self._visits[index] = self._visits.get(index, 0) + 1
+        rng = np.random.default_rng((self.seed, index, visit))
         for _ in range(len(self)):
-            item = self._load_one(index)
+            item = self._load_one(index, rng)
             if item is not None:
                 return item
             index = (index + 1) % len(self)  # skip corrupt sample
         raise RuntimeError("all dataset items failed to load")
 
-    def _load_one(self, index: int) -> Optional[Dict[str, np.ndarray]]:
+    def _load_one(self, index: int,
+                  rng: np.random.Generator) -> Optional[Dict[str, np.ndarray]]:
         img_path = os.path.join(self.data_dir, self.img_list[index])
         try:
             with open(img_path + "_label.pkl", "rb") as f:
@@ -240,7 +253,7 @@ class NOCSDataset:
         if self.per_obj_id is not None:
             idx = gts["class_ids"].index(self.per_obj_id)
         else:
-            idx = int(self.rng.integers(0, len(gts["instance_ids"])))
+            idx = int(rng.integers(0, len(gts["instance_ids"])))
 
         # mug handle visibility (ref datasets_genpose.py:239-248)
         if gts["class_ids"][idx] == 6 and img_type == "real":
@@ -276,7 +289,7 @@ class NOCSDataset:
         rmin, rmax, cmin, cmax = get_bbox(gts["bboxes"][idx], im_H, im_W)
         bbox_xyxy = np.array([cmin, rmin, cmax, rmax])
         bbox_center, scale = aug_bbox_DZI(self.dzi_params, bbox_xyxy, im_H, im_W,
-                                          self.rng)
+                                          rng)
         roi_coord_2d = crop_resize_by_warp_affine(
             coord_2d, bbox_center, scale, self.img_size,
             interpolation=cv2.INTER_NEAREST,
@@ -309,18 +322,18 @@ class NOCSDataset:
         translation = gts["translations"][idx]
 
         roi_mask_def = defor_2D(
-            roi_mask, self.rng,
+            roi_mask, rng,
             rand_r=self.deform_2d_params.roi_mask_r,
             rand_pro=self.deform_2d_params.roi_mask_pro,
         )
         n_valid, pcl_in = backproject_and_sample(
             roi_depth, out_camK, roi_coord_2d, roi_mask_def,
-            self.n_pts, self.rng, scale=1.0 / 1000.0)
+            self.n_pts, rng, scale=1.0 / 1000.0)
         if n_valid < 50:
             return None
 
         sym_info = get_sym_info(self.id2cat_name[str(cat_id + 1)], mug_handle)
-        bb_aug, rt_aug_t, rt_aug_R = self.generate_aug_parameters()
+        bb_aug, rt_aug_t, rt_aug_R = self.generate_aug_parameters(rng)
 
         return {
             "pcl_in": pcl_in.astype(np.float32),
@@ -339,19 +352,20 @@ class NOCSDataset:
             "path": img_path,
         }
 
-    def generate_aug_parameters(self, s_x=(0.8, 1.2), s_y=(0.8, 1.2),
+    def generate_aug_parameters(self, rng: np.random.Generator,
+                                s_x=(0.8, 1.2), s_y=(0.8, 1.2),
                                 s_z=(0.8, 1.2), ax=50, ay=50, az=50, a=15):
         """Per-sample augmentation draws (ref ``datasets_genpose.py:400-411``)."""
-        ex, ey, ez = self.rng.random(3)
+        ex, ey, ez = rng.random(3)
         ex = ex * (s_x[1] - s_x[0]) + s_x[0]
         ey = ey * (s_y[1] - s_y[0]) + s_y[0]
         ez = ez * (s_z[1] - s_z[0]) + s_z[0]
         Rm = get_rotation_np(
-            self.rng.uniform(-a, a), self.rng.uniform(-a, a), self.rng.uniform(-a, a)
+            rng.uniform(-a, a), rng.uniform(-a, a), rng.uniform(-a, a)
         )
-        dx = self.rng.random() * 2 * ax - ax
-        dy = self.rng.random() * 2 * ay - ay
-        dz = self.rng.random() * 2 * az - az
+        dx = rng.random() * 2 * ax - ax
+        dy = rng.random() * 2 * ay - ay
+        dz = rng.random() * 2 * az - az
         return (
             np.array([ex, ey, ez], dtype=np.float32),
             np.array([dx, dy, dz], dtype=np.float32) / 1000.0,

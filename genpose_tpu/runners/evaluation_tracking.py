@@ -23,13 +23,13 @@ from genpose_tpu.config import Config, get_config
 from genpose_tpu.eval.metrics import compute_RT_errors
 from genpose_tpu.ops.pose import (
     average_quaternion_batch,
-    get_rot_matrix,
     matrix_to_quat_wxyz,
     quat_wxyz_to_matrix,
 )
 from genpose_tpu.runners.evaluation_single import (
     REAL_K,
     _instance_points,
+    _pose_to_rts,
     _zero_center_batch,
 )
 from genpose_tpu.data.dataset_utils import load_depth
@@ -169,6 +169,20 @@ def main_tracking(cfg: Config, tracking: bool = True, T0: float = 0.15):
             init_pose = srt_to_pose9d(jnp.asarray(init_sRT))
             init_pose = init_pose.at[:, -3:].add(-batch["pts_center"])
 
+        # Pad the instance axis to a power-of-two bucket so the jitted
+        # sampler/energy pipeline compiles once per bucket (<= log2 shapes)
+        # instead of once per distinct per-frame detection count — each
+        # compile costs minutes server-side on a tunneled backend.  Padded
+        # rows repeat the last instance and are sliced away below.
+        N = int(batch["zero_mean_pts"].shape[0])
+        n_pad = (1 << (N - 1).bit_length()) - N
+        if n_pad:
+            batch = {k: jnp.concatenate(
+                [v, jnp.repeat(v[-1:], n_pad, axis=0)]) for k, v in batch.items()}
+            if init_pose is not None:
+                init_pose = jnp.concatenate(
+                    [init_pose, jnp.repeat(init_pose[-1:], n_pad, axis=0)])
+
         key, k_s = jax.random.split(key)
         pred_pose = score_agent.sample(
             batch, k_s, repeat_num=cfg.eval_repeat_num, sampler="ode",
@@ -176,14 +190,8 @@ def main_tracking(cfg: Config, tracking: bool = True, T0: float = 0.15):
         energy = energy_agent.get_energy(batch, pred_pose, T=1e-5)
         sorted_pose, _ = sort_poses_by_energy(pred_pose, energy)
 
-        sorted_pose = np.asarray(sorted_pose)
-        N, K, _ = sorted_pose.shape
-        flat = jnp.asarray(sorted_pose.reshape(N * K, -1))
-        R = np.asarray(get_rot_matrix(flat[:, :-3], cfg.pose_mode))
-        rts = np.tile(np.identity(4), (N * K, 1, 1))
-        rts[:, :3, :3] = R
-        rts[:, :3, 3] = np.asarray(flat[:, -3:])
-        rts = rts.reshape(N, K, 4, 4)
+        sorted_pose = np.asarray(sorted_pose)[:N]
+        rts = _pose_to_rts(sorted_pose, cfg.pose_mode)
 
         avg_sRT = cal_average_sRT(rts, max(1, int(0.6 * cfg.eval_repeat_num)))
         buffer["model_name"] = frame["model_name"]

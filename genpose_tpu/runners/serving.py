@@ -110,6 +110,14 @@ class InferencePipeline:
         """
         pts = np.asarray(pts, np.float32)
         n = pts.shape[0]
+        if n == 0:
+            d = self.score_agent.pose_dim
+            return {
+                "pred_pose": np.zeros((0, 7), np.float32),
+                "best_pose": np.zeros((0, 7), np.float32),
+                "sorted_hypotheses": np.zeros((0, self.K, d), np.float32),
+                "energy": np.zeros((0, self.K, 2), np.float32),
+            }
         key = key if key is not None else jax.random.PRNGKey(0)
 
         outs = []

@@ -180,3 +180,43 @@ def test_loader_abandoned_iterator_releases_producer(nocs_dir):
     while threading.active_count() > before and _time.time() < deadline:
         _time.sleep(0.05)
     assert threading.active_count() <= before, "producer threads leaked"
+
+
+def test_loader_propagates_worker_errors():
+    """A dataset error must surface in the consumer loop, not leave it
+    blocked on the queue forever (review regression)."""
+    from genpose_tpu.data.loader import DataLoader
+
+    class Bad:
+        def __len__(self):
+            return 8
+
+        def __getitem__(self, i):
+            if i >= 4:
+                raise KeyError(f"missing model for item {i}")
+            return {"x": np.zeros(3, np.float32)}
+
+    loader = DataLoader(Bad(), batch_size=4, shuffle=False, num_workers=2,
+                        prefetch=1, seed=0)
+    with pytest.raises(KeyError):
+        for _ in loader:
+            pass
+
+
+def test_dataset_seeded_draws_are_order_independent(nocs_dir):
+    """Per-(index, visit) generators: the same seed must produce the same
+    sample regardless of the order/thread interleaving in which indices are
+    visited (review regression — a shared Generator was order-dependent)."""
+    from genpose_tpu.data.nocs import NOCSDataset
+
+    make = lambda: NOCSDataset(data_dir=nocs_dir, source="CAMERA+Real",
+                               mode="train", n_pts=64, seed=3)
+    ds_a, ds_b = make(), make()
+    a0, a1 = ds_a[0], ds_a[1]          # visit order 0, 1
+    b1, b0 = ds_b[1], ds_b[0]          # visit order 1, 0
+    for got, want in ((b0, a0), (b1, a1)):
+        np.testing.assert_array_equal(got["pcl_in"], want["pcl_in"])
+        np.testing.assert_array_equal(got["aug_bb"], want["aug_bb"])
+    # a second visit of the same index draws FRESH augmentations
+    a0_again = ds_a[0]
+    assert not np.array_equal(a0_again["aug_bb"], a0["aug_bb"])

@@ -86,3 +86,21 @@ def test_predict_under_mesh_matches_unsharded(pipe):
     for k in out_p:
         assert np.isfinite(out_s[k]).all()
         np.testing.assert_allclose(out_s[k], out_p[k], rtol=2e-4, atol=2e-4)
+
+
+def test_predict_empty_request():
+    """n == 0 must return empty, correctly-shaped arrays (review regression:
+    it crashed with IndexError on outs[0])."""
+    import numpy as np
+
+    from genpose_tpu.config import Config
+    from genpose_tpu.runners.serving import InferencePipeline
+
+    cfg = Config(num_points=32, eval_repeat_num=2, sampling_steps=2,
+                 batch_size=2)
+    pipe = InferencePipeline(cfg, batch_size=2)
+    out = pipe.predict(np.zeros((0, 32, 3), np.float32))
+    assert out["pred_pose"].shape == (0, 7)
+    assert out["best_pose"].shape == (0, 7)
+    assert out["sorted_hypotheses"].shape == (0, 2, 9)
+    assert out["energy"].shape == (0, 2, 2)
