@@ -72,9 +72,14 @@ def ode_sampler(
     ts = jnp.linspace(T, eps, num_steps)
 
     def ode_dx(x, t):
+        # sde.sde returns the drift COEFFICIENT c(t) of f(x,t) = c(t)*x
+        # (sde.py:31).  NOTE deliberate fix vs the reference: its ode_func
+        # ADDS the coefficient as a constant (``samplers.py:198``), dropping
+        # the x-contraction — a no-op for the released VE/EDM modes (c=0)
+        # but wrong for vp/subvp.
         drift, diffusion = sde.sde(t)
         t_vec = jnp.full((1, 1), t)  # shared across the batch; broadcasts in the trunk
-        return drift - 0.5 * (diffusion**2) * score_fn(x, t_vec)
+        return drift * x - 0.5 * (diffusion**2) * score_fn(x, t_vec)
 
     def step(x, t_pair):
         t, t_next = t_pair
@@ -106,7 +111,7 @@ def ode_sampler(
         t_vec = jnp.full((1, 1), eps)
         drift, diffusion = sde.sde(jnp.asarray(eps))
         grad = score_fn(x, t_vec)
-        x = x + (diffusion**2 * grad - drift) * ((1.0 - eps) / num_steps)
+        x = x + (diffusion**2 * grad - drift * x) * ((1.0 - eps) / num_steps)
 
     rot = normalize_rotation(x[:, :-3], pose_mode)
     x = jnp.concatenate([rot, x[:, -3:] + pts_center], axis=-1)
@@ -184,9 +189,10 @@ def ode_sampler_adaptive(
     x0 = prior_sample if init_x is None else init_x + prior_sample
 
     def ode_dx(x, t):
+        # drift coefficient contracts with x (see the fixed-step ode_dx note)
         drift, diffusion = sde.sde(t)
         t_vec = jnp.full((1, 1), t)
-        return drift - 0.5 * (diffusion**2) * score_fn(x, t_vec)
+        return drift * x - 0.5 * (diffusion**2) * score_fn(x, t_vec)
 
     def _rms(v):
         return jnp.sqrt(jnp.mean(v**2))
@@ -288,7 +294,7 @@ def pc_sampler(
     if pts_center is None:
         pts_center = jnp.zeros((batch_size, 3))
 
-    ts = jnp.linspace(1.0, sde.eps, num_steps)
+    ts = jnp.linspace(sde.T, sde.eps, num_steps)
     step_size = ts[0] - ts[1]
     noise_norm = jnp.sqrt(float(pose_dim))
 
@@ -329,7 +335,7 @@ def pc_sampler(
         # sign.  The default eval path (ODE sampler) is unaffected.
         drift, diffusion = sde.sde(t_vec)
         grad = score_fn(x, t_vec)
-        rev_drift = diffusion**2 * grad - drift
+        rev_drift = diffusion**2 * grad - drift * x
         mean_x = x + rev_drift * step_size
         x = mean_x + diffusion * jnp.sqrt(step_size) * jax.random.normal(k2, x.shape)
 
@@ -376,7 +382,7 @@ def ode_likelihood(
     epsilon = jax.random.normal(key, (bs, pose_dim))
     basis = jnp.eye(pose_dim)
 
-    ts = jnp.linspace(sde.eps, 1.0, num_steps)
+    ts = jnp.linspace(sde.eps, sde.T, num_steps)
 
     def dx_and_div(x, t):
         drift, diffusion = sde.sde(t)
@@ -391,8 +397,9 @@ def ode_likelihood(
         else:
             score, jvp = jax.jvp(s_fn, (x,), (epsilon,))
             div = jnp.sum(jvp * epsilon, axis=-1)  # [bs]
-        dx = drift - 0.5 * diffusion**2 * score
-        dlogp = drift - 0.5 * diffusion**2 * div
+        # f(x) = drift_coeff * x, so its divergence is pose_dim * drift_coeff
+        dx = drift * x - 0.5 * diffusion**2 * score
+        dlogp = pose_dim * drift - 0.5 * diffusion**2 * div
         return dx, dlogp
 
     def step(carry, t_pair):
@@ -412,7 +419,7 @@ def ode_likelihood(
         step, (x, jnp.zeros((bs,))), (ts[:-1], ts[1:])
     )
 
-    _, sigma_max = sde.marginal_prob(None, jnp.asarray(1.0))
+    _, sigma_max = sde.marginal_prob(None, jnp.asarray(sde.T))
     N = pose_dim
     prior_logp = -N / 2.0 * jnp.log(2 * jnp.pi * sigma_max**2) - jnp.sum(
         z**2, axis=-1

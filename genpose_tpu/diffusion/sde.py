@@ -64,8 +64,11 @@ def ve_prior(key, shape, sigma_min=0.01, sigma_max=50.0, T=1.0):
 # ----- VP SDE (reference sde.py:32-45) -----
 
 def vp_marginal_prob(x, t, beta_0=0.1, beta_1=20.0):
+    # x=None -> std-only query: every score/energy head calls
+    # marginal_prob(None, t) for sigma(t) (the reference passes a dummy
+    # tensor there, scorenet.py:205; None is the honest equivalent)
     log_mean_coeff = -0.25 * t**2 * (beta_1 - beta_0) - 0.5 * t * beta_0
-    mean = jnp.exp(log_mean_coeff) * x
+    mean = None if x is None else jnp.exp(log_mean_coeff) * x
     std = jnp.sqrt(1.0 - jnp.exp(2.0 * log_mean_coeff))
     return mean, std
 
@@ -83,7 +86,7 @@ def vp_prior(key, shape, beta_0=0.1, beta_1=20.0, T=1.0):
 
 def subvp_marginal_prob(x, t, beta_0=0.1, beta_1=20.0):
     log_mean_coeff = -0.25 * t**2 * (beta_1 - beta_0) - 0.5 * t * beta_0
-    mean = jnp.exp(log_mean_coeff) * x
+    mean = None if x is None else jnp.exp(log_mean_coeff) * x
     std = 1.0 - jnp.exp(2.0 * log_mean_coeff)
     return mean, std
 

@@ -199,8 +199,7 @@ def normalize_rotation(rotation: jnp.ndarray, pose_mode: str) -> jnp.ndarray:
     if pose_mode in ("quat_wxyz", "quat_xyzw"):
         return rotation / jnp.clip(jnp.linalg.norm(rotation, axis=-1, keepdims=True), _EPS)
     if pose_mode == "rot_matrix":
-        m = rot6d_to_matrix(rotation)
-        return jnp.concatenate([m[..., :, 0], m[..., :, 1]], axis=-1)
+        return matrix_to_rot6d(rot6d_to_matrix(rotation))
     if pose_mode == "euler_xyz_sx_cx":
         theta = jnp.arctan2(rotation[..., :3], rotation[..., 3:6])
         return jnp.concatenate([jnp.sin(theta), jnp.cos(theta)], axis=-1)

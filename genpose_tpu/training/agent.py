@@ -112,7 +112,7 @@ class PoseAgent:
                             "return_process"),
         )
         self._get_energy = jax.jit(
-            self._get_energy_impl, static_argnames=("train", "use_ema")
+            self._get_energy_impl, static_argnames=("use_ema",)
         )
         self._likelihood = jax.jit(
             self._likelihood_impl, static_argnames=("num_steps",)
@@ -153,12 +153,18 @@ class PoseAgent:
                                     dtype=self.model.dtype)
         return None
 
-    def _head_score_fn(self, params, batch_stats, feat):
+    def _head_score_fn(self, params, batch_stats, feat, repeat: int = 1):
         variables = {"params": params, "batch_stats": batch_stats}
         # hoist the pts_feat tail projections: computed once here, reused by
-        # every sampler step (pts_feat is loop-invariant inside the scan)
+        # every sampler step (pts_feat is loop-invariant inside the scan).
+        # ``repeat`` folds K hypotheses in AFTER the projection: projecting
+        # bs rows and repeating the results is bit-identical to projecting
+        # bs*K repeated rows at 1/K the FLOPs (rows are independent).
         projs = self.model.apply(variables, feat,
                                  method=GFObjectPose.precompute_head)
+        if repeat > 1:
+            projs = jax.tree.map(lambda p: jnp.repeat(p, repeat, axis=0),
+                                 projs)
         if self.mode == "score":
 
             def score_fn(pose, t):
@@ -177,10 +183,13 @@ class PoseAgent:
 
         return score_fn
 
-    def _head_energy_fn(self, params, batch_stats, feat):
+    def _head_energy_fn(self, params, batch_stats, feat, repeat: int = 1):
         variables = {"params": params, "batch_stats": batch_stats}
         projs = self.model.apply(variables, feat,
                                  method=GFObjectPose.precompute_head)
+        if repeat > 1:
+            projs = jax.tree.map(lambda p: jnp.repeat(p, repeat, axis=0),
+                                 projs)
 
         def energy_fn(pose, t):
             return self.model.apply(variables, projs, pose, t,
@@ -231,8 +240,14 @@ class PoseAgent:
 
     def train_step_distill(self, teacher: "PoseAgent", batch, key):
         """DSM step against a frozen teacher's score instead of -z/std
-        (ref ``losses.py:79-82``, ``trainer.py:406-419``)."""
-        if not hasattr(self, "_train_step_distill"):
+        (ref ``losses.py:79-82``, ``trainer.py:406-419``).
+
+        The jitted step closes over the teacher's MODEL (architecture +
+        marginal_prob); only its weights are traced.  The cache is keyed by
+        teacher identity so a different teacher object rebuilds the closure
+        instead of silently reusing the first one's architecture."""
+        if getattr(self, "_distill_teacher_id", None) != id(teacher):
+            self._distill_teacher_id = id(teacher)
 
             @jax.jit
             def step(state, t_state, batch, key):
@@ -324,8 +339,8 @@ class PoseAgent:
                 self.cfg.repeat_num,
             )
 
-            feat_rep = jnp.repeat(feat, K, axis=0)
-            energy_fn = self._head_energy_fn(params, new_stats, feat_rep)
+            energy_fn = self._head_energy_fn(params, new_stats, feat,
+                                             repeat=K)
             energy = energy_fn(centered.reshape(bs * K, -1), t_samples)
             energy = energy.reshape(bs, K, 2)
             sorted_energy = sort_results(energy, metrics)
@@ -368,14 +383,15 @@ class PoseAgent:
         bs = pts.shape[0]
         feat, _ = self._encode_and_score_fn(params, state.batch_stats, pts,
                                             train=False, geometry=geometry)
-        # fold K into the batch axis: [bs*K, ...]
-        feat_rep = jnp.repeat(feat, repeat_num, axis=0)
+        # fold K into the batch axis: [bs*K, ...]; the head projections are
+        # computed on bs rows and repeated (see _head_score_fn)
         center_rep = jnp.repeat(batch["pts_center"], repeat_num, axis=0)
         init_rep = None
         if init_x is not None:
             init_rep = jnp.repeat(init_x, repeat_num, axis=0)
 
-        score_fn = self._head_score_fn(params, state.batch_stats, feat_rep)
+        score_fn = self._head_score_fn(params, state.batch_stats, feat,
+                                       repeat=repeat_num)
         if sampler == "ode":
             process, res = ode_sampler(
                 score_fn, key, bs * repeat_num, self.sde, self.cfg.pose_mode,
@@ -422,17 +438,16 @@ class PoseAgent:
     # ------------------------------------------------------------------
 
     def _get_energy_impl(self, state: TrainState, batch, pose_samples,
-                         t_input, train: bool = False, use_ema: bool = False,
-                         geometry=None):
+                         t_input, use_ema: bool = False, geometry=None):
         params = state.ema.shadow if use_ema else state.params
         bs, K, _ = pose_samples.shape
         feat, _ = self._encode_and_score_fn(
             params, state.batch_stats, batch["zero_mean_pts"], train=False,
             geometry=geometry,
         )
-        feat_rep = jnp.repeat(feat, K, axis=0)
         centered = pose_samples.at[..., -3:].add(-batch["pts_center"][:, None, :])
-        energy_fn = self._head_energy_fn(params, state.batch_stats, feat_rep)
+        energy_fn = self._head_energy_fn(params, state.batch_stats, feat,
+                                         repeat=K)
         e = energy_fn(centered.reshape(bs * K, -1), t_input.reshape(bs * K, 1))
         return e.reshape(bs, K, -1)
 

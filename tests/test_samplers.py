@@ -269,3 +269,62 @@ def test_agent_sample_ode_adaptive():
                         sampler="ode_adaptive", T0=0.55)
     assert pred.shape == (4, 2, 9)
     assert np.all(np.isfinite(np.asarray(pred)))
+
+
+def test_vp_pf_ode_is_stationary_for_standard_normal():
+    """For VP with data ~ N(0, I) the analytic score is -x and the PF-ODE
+    dx/dt = c(t)x - 0.5 g^2 (-x) = (-0.5b + 0.5b) x = 0 is exactly
+    stationary.  This pins the drift term's x-contraction (review
+    regression: the coefficient was ADDED as a constant, like the
+    reference's ``samplers.py:198``, which diverges here)."""
+    sde = init_sde("vp")
+    score_fn = lambda x, t: -x
+    key = jax.random.PRNGKey(3)
+    bs = 16
+    # euler_xyz: 6 dims, identity rotation-normalization, so the sampler
+    # output IS the integrated state
+    _, x = ode_sampler(score_fn, key, bs, sde, pose_mode="euler_xyz",
+                       num_steps=200, denoise=False,
+                       pts_center=jnp.zeros((bs, 3)))
+    x0 = sde.prior(key, (bs, 6))
+    np.testing.assert_allclose(np.asarray(x), np.asarray(x0), atol=5e-3)
+
+
+def test_vp_likelihood_of_standard_normal():
+    """Same setting: delta_logp integrates to ~0, so the log-likelihood must
+    equal the standard-normal logpdf (in bits).  Pins both the drift term
+    and the pose_dim * drift_coeff divergence of the review fix."""
+    from genpose_tpu.diffusion.samplers import ode_likelihood
+
+    sde = init_sde("vp")
+    score_fn = lambda x, t: -x
+    x = jax.random.normal(jax.random.PRNGKey(5), (8, 9))
+    _, ll_bits = ode_likelihood(score_fn, jax.random.PRNGKey(6), x, sde,
+                                num_steps=400)
+    d = x.shape[1]
+    want = (-d / 2.0 * np.log(2 * np.pi)
+            - np.sum(np.asarray(x) ** 2, axis=-1) / 2.0) / np.log(2.0)
+    np.testing.assert_allclose(np.asarray(ll_bits), want, rtol=0.02)
+
+
+def test_vp_subvp_agent_smoke():
+    """sde_mode='vp'/'subvp' must construct, train a step, and sample
+    (review regression: marginal_prob(None, t) crashed in both modes)."""
+    from genpose_tpu.config import Config
+    from genpose_tpu.training.agent import PoseAgent
+
+    for mode in ("vp", "subvp"):
+        cfg = Config(num_points=32, repeat_num=2, batch_size=4,
+                     sampling_steps=4, sde_mode=mode)
+        agent = PoseAgent(cfg, "score", steps_per_epoch=4)
+        key = jax.random.PRNGKey(0)
+        batch = {
+            "zero_mean_pts": jax.random.normal(key, (4, 32, 3)) * 0.1,
+            "zero_mean_gt_pose": jax.random.normal(key, (4, 9)),
+            "pts_center": jnp.zeros((4, 3)),
+        }
+        losses = agent.train_step(batch, jax.random.PRNGKey(1))
+        assert np.isfinite(float(losses["gf"])), mode
+        pred = agent.sample(batch, jax.random.PRNGKey(2), repeat_num=2,
+                            sampler="ode", num_steps=4)
+        assert np.all(np.isfinite(np.asarray(pred))), mode
