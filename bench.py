@@ -42,8 +42,7 @@ BASELINE_POSES_PER_SEC = 60.0  # estimated RTX-3090 reference throughput
 
 def main():
     from genpose_tpu.config import Config
-    from genpose_tpu.training.agent import PoseAgent
-    from genpose_tpu.training.ranking import sort_poses_by_energy
+    from genpose_tpu.runners.serving import InferencePipeline
 
     bs = int(os.environ.get("BENCH_BATCH", "64"))
     K = int(os.environ.get("BENCH_K", "50"))
@@ -51,10 +50,16 @@ def main():
     iters = int(os.environ.get("BENCH_ITERS", "8"))
     sampler = os.environ.get("BENCH_SAMPLER", "ode_adaptive")
 
+    # the benchmark measures the REAL serving pipeline (InferencePipeline's
+    # jitted _run: shared geometry -> K-hypothesis sampling -> energy ->
+    # rank -> top-cfg.ratio pooling), not a re-implementation that could
+    # drift from it
     cfg = Config(num_points=1024, eval_repeat_num=K, sampling_steps=steps,
-                 batch_size=bs, compute_dtype="bfloat16")
-    score_agent = PoseAgent(cfg, "score", steps_per_epoch=100)
-    energy_agent = PoseAgent(cfg, "energy", steps_per_epoch=100)
+                 batch_size=bs, compute_dtype="bfloat16", T0=0.55,
+                 sampler_mode=(sampler,))
+    pipe = InferencePipeline(cfg, batch_size=bs)
+    score_agent = pipe.score_agent
+    energy_agent = pipe.energy_agent
 
     # The reference zero-initializes each tail's last layer (scorenet.py:
     # 120-135), so a fresh net computes score = 0 and XLA constant-folds the
@@ -76,11 +81,6 @@ def main():
 
     rng = np.random.default_rng(0)
     pts = jnp.asarray(rng.normal(size=(bs, cfg.num_points, 3)).astype(np.float32) * 0.1)
-    center = jnp.mean(pts, axis=1)
-    batch = {
-        "zero_mean_pts": pts - center[:, None, :],
-        "pts_center": center,
-    }
 
     # One jitted program runs `iters` end-to-end pipelines chained through a
     # data dependence (each iteration's input depends on the previous
@@ -92,35 +92,24 @@ def main():
     # overhead a real deployment overlaps with compute, not device time.
     # Timing is synced via a host copy (block_until_ready alone is
     # unreliable over the tunnel), and heads are perturbed above so XLA
-    # cannot constant-fold the sampler.
-    def one_pipeline(score_state, energy_state, batch, key):
-        geom = score_agent.pts_geometry(batch["zero_mean_pts"])
-        pred = score_agent._sample_impl(score_state, batch, key, repeat_num=K,
-                                        sampler=sampler, num_steps=steps,
-                                        T0=0.55, geometry=geom)
-        t_in = jnp.full((bs, K), 1e-5)
-        energy = energy_agent._get_energy_impl(energy_state, batch, pred, t_in,
-                                               geometry=geom)
-        sorted_pose, _ = sort_poses_by_energy(pred, energy)
-        keep = max(1, int(0.6 * K))
-        _, avg = score_agent.aggregate_hypotheses(sorted_pose[:, :keep])
-        return avg
-
+    # cannot constant-fold the sampler.  pipe._run inlines under the outer
+    # jit; outputs other than pred_pose are dead-code-eliminated.
     @functools.partial(jax.jit, static_argnames=("n",))
-    def chained(score_state, energy_state, batch, key, n):
+    def chained(score_state, energy_state, pts, key, n):
         def it(i, carry):
-            b = {k: v + 1e-12 * jnp.sum(carry) for k, v in batch.items()}
-            return one_pipeline(score_state, energy_state, b,
-                                jax.random.fold_in(key, i))
+            p = pts + 1e-12 * jnp.sum(carry)
+            out = pipe._run(score_state, energy_state, p,
+                            jax.random.fold_in(key, i))
+            return out["pred_pose"]
         return jax.lax.fori_loop(0, n, it, jnp.zeros((bs, 7)))
 
     # warmup / compile
-    out = chained(score_agent.state, energy_agent.state, batch,
+    out = chained(score_agent.state, energy_agent.state, pts,
                   jax.random.PRNGKey(0), n=iters)
     np.asarray(out)
 
     t0 = time.perf_counter()
-    out = chained(score_agent.state, energy_agent.state, batch,
+    out = chained(score_agent.state, energy_agent.state, pts,
                   jax.random.PRNGKey(1), n=iters)
     np.asarray(out)
     dt = time.perf_counter() - t0

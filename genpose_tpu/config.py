@@ -157,11 +157,24 @@ def _add_dataclass_args(parser: argparse.ArgumentParser, cls) -> None:
             continue
         name = "--" + f.name
         default = f.default if f.default is not dataclasses.MISSING else None
+        ftype = f.type if isinstance(f.type, str) else str(f.type)
         if f.type in ("bool", bool):
             parser.add_argument(name, type=lambda s: s.lower() in ("1", "true", "yes"),
                                 default=default)
-        elif f.type in ("Tuple[str, ...]",) or isinstance(default, tuple):
-            parser.add_argument(name, nargs="+", default=default)
+        elif "Tuple" in ftype or isinstance(default, tuple):
+            # element type from the default tuple, else from the annotation
+            # (covers Optional[Tuple[...]] fields whose default is None —
+            # previously declared as a single str arg, silently dropping
+            # all but the first value)
+            if isinstance(default, tuple) and default:
+                elem = type(default[0])
+            elif "float" in ftype:
+                elem = float
+            elif "int" in ftype:
+                elem = int
+            else:
+                elem = str
+            parser.add_argument(name, nargs="+", type=elem, default=default)
         elif isinstance(default, int):
             parser.add_argument(name, type=int, default=default)
         elif isinstance(default, float):

@@ -187,6 +187,8 @@ def sample_points(pcl: np.ndarray, n_pts: int, rng: np.random.Generator) -> np.n
     """Random down/duplicate-sample to exactly n_pts
     (ref ``datasets_genpose.py:370-383``)."""
     total = pcl.shape[0]
+    if total == 0:  # degenerate cloud: zeros (matches the native path)
+        return np.zeros((n_pts, 3), dtype=np.float32)
     if total < n_pts:
         pcl = np.concatenate(
             [np.tile(pcl, (n_pts // total, 1)), pcl[: n_pts % total]], axis=0

@@ -130,7 +130,9 @@ def sample_points(pcl: np.ndarray, n_pts: int, seed: int) -> np.ndarray:
     assert lib is not None
     pcl = _f32c(pcl)
     n = pcl.shape[0]
-    out = np.empty((n_pts, 3), dtype=np.float32)
+    # zeros, not empty: the C side zero-fills on n==0 and this matches the
+    # numpy fallback's behavior for degenerate inputs
+    out = np.zeros((n_pts, 3), dtype=np.float32)
     scratch = np.empty(max(n, 1), dtype=np.int32)
     lib.gp_sample_points(_fp(pcl), n, n_pts, int(seed) & (2**64 - 1),
                          _fp(out), _ip(scratch))
@@ -145,7 +147,10 @@ def backproject_sample(depth, mask, xmap, ymap, fx, fy, cx, cy, scale,
     depth, mask = _f32c(depth).ravel(), _f32c(mask).ravel()
     xmap, ymap = _f32c(xmap).ravel(), _f32c(ymap).ravel()
     n = depth.size
-    out = np.empty((n_pts, 3), dtype=np.float32)
+    # zeros, not empty: when no pixel is valid the C side returns 0 without
+    # writing `out`; the numpy fallback returns zeros, so match it instead
+    # of handing back uninitialized memory
+    out = np.zeros((n_pts, 3), dtype=np.float32)
     buf = np.empty((n, 3), dtype=np.float32)
     scratch = np.empty(max(n, 1), dtype=np.int32)
     k = lib.gp_backproject_sample(

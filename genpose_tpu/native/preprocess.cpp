@@ -81,6 +81,10 @@ int gp_depth_mask_to_pcl(const float* depth, const float* mask,
 // (partial Fisher-Yates).  In-place safe only when out != pcl.
 void gp_sample_points(const float* pcl, int64_t n, int64_t n_pts,
                       uint64_t seed, float* out, int32_t* scratch_idx) {
+  if (n <= 0) {  // empty cloud: zero-fill (the tiling loop below would spin)
+    std::memset(out, 0, sizeof(float) * 3 * n_pts);
+    return;
+  }
   if (n == n_pts) {
     std::memcpy(out, pcl, sizeof(float) * 3 * n);
     return;

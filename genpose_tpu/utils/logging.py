@@ -19,6 +19,11 @@ def setup_logger(logger_name: str, log_file: str, level=None):
     import logging
 
     logger = logging.getLogger(logger_name)
+    # logging.getLogger caches by name: drop previous handlers so a second
+    # setup (resume, multiple runners in one process) doesn't double-write
+    for h in list(logger.handlers):
+        logger.removeHandler(h)
+        h.close()
     formatter = logging.Formatter("%(asctime)s : %(message)s")
     fh = logging.FileHandler(log_file, mode="a")
     fh.setFormatter(formatter)

@@ -6,8 +6,10 @@ logger, per-step diffusion videos at eval time), but built on vectorized
 numpy splatting instead of the reference's per-point Python loops, and on
 the JAX pose ops (``genpose_tpu.ops.pose.transform_batch_pts``).
 
-Everything here is host-side and optional: matplotlib/cv2 are imported
-lazily so headless training never pays for them.
+Everything here is host-side and optional: matplotlib is imported lazily;
+cv2 is attempted at import (it is only needed for color-image resize and
+video encoding — the splat/grid paths are pure numpy) and a clear
+ImportError is raised at the point of use when it is absent.
 """
 
 from __future__ import annotations
@@ -23,6 +25,13 @@ try:
     import cv2
 except ImportError:  # pragma: no cover
     cv2 = None
+
+
+def _require_cv2():
+    if cv2 is None:  # pragma: no cover
+        raise ImportError(
+            "cv2 is required for image-resize/video visualization paths")
+    return cv2
 
 
 # Default render cameras (reference ``visualize.py:167-187``): a 640-res
@@ -91,6 +100,7 @@ def pts_views(pts: np.ndarray):
 
 def resize_img_keep_ratio(img: np.ndarray, target_size) -> np.ndarray:
     """Aspect-preserving resize with black padding (ref ``visualize.py:18-29``)."""
+    _require_cv2()
     old = img.shape[:2]
     ratio = min(target_size[i] / old[i] for i in range(2))
     new = tuple(int(s * ratio) for s in old)
@@ -158,6 +168,7 @@ def save_video(
 ):
     """One mp4 per sample animating the pose trajectory
     (ref ``visualize.py:264-293``)."""
+    _require_cv2()
     os.makedirs(save_path, exist_ok=True)
     fourcc = cv2.VideoWriter_fourcc(*"mp4v")
     writers = None
@@ -195,7 +206,7 @@ def test_time_visualize(save_path, data, res, in_process_sample,
 
     grid, _ = create_grid_image(pts[:n], np.asarray(res)[:n], gt, None,
                                 pose_mode, o2c_pose)
-    cv2.imwrite(os.path.join(save_path, "res_grid.png"), grid[..., ::-1])
+    _require_cv2().imwrite(os.path.join(save_path, "res_grid.png"), grid[..., ::-1])
 
     traj = np.asarray(in_process_sample).transpose(1, 0, 2)  # (steps, bs, D)
     traj = traj[-traj.shape[0] // 2:]           # last 50% of the trajectory
@@ -296,7 +307,6 @@ def so3_visualization(pred_rot, energy=None, gt_rot=None,
         confidence = np.ones(pred_rot.shape[0]) / 200
     else:
         e = np.asarray(energy)[:, 0]
-        e = e - e.mean()
         confidence = np.exp(e - e.max())
         confidence = confidence / confidence.sum() / 10
     visualize_so3(save_path=save_path, pred_rotations=pred_rot,

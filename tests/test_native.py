@@ -100,3 +100,31 @@ def test_fps_single_cloud():
     idx = native.fps(pts, 10)
     assert idx[0] == 0
     assert len(set(idx.tolist())) == 10
+
+
+def test_sample_points_empty_cloud_returns_zeros():
+    """n == 0 must return zeros in BOTH implementations (review regression:
+    the C tiling loop spun forever with the GIL released; the numpy
+    fallback raised ZeroDivisionError)."""
+    from genpose_tpu import native
+    from genpose_tpu.data.dataset_utils import sample_points as np_sample
+
+    empty = np.zeros((0, 3), np.float32)
+    got_np = np_sample(empty, 16, np.random.default_rng(0))
+    np.testing.assert_array_equal(got_np, np.zeros((16, 3), np.float32))
+    if native.get_lib() is not None:
+        got_c = native.sample_points(empty, 16, seed=0)
+        np.testing.assert_array_equal(got_c, np.zeros((16, 3), np.float32))
+
+
+def test_config_tuple_flags_parse_typed():
+    """Tuple CLI flags keep element types and Optional[Tuple] fields accept
+    multiple values (review regression: --selected_classes dropped all but
+    the first value; --eval_ratios produced strings)."""
+    from genpose_tpu.config import get_config
+
+    cfg = get_config(["--eval_ratios", "0.5", "0.7",
+                      "--selected_classes", "bottle", "mug"])
+    assert cfg.eval_ratios == (0.5, 0.7)
+    assert all(isinstance(r, float) for r in cfg.eval_ratios)
+    assert cfg.selected_classes == ("bottle", "mug")
