@@ -1,0 +1,101 @@
+"""On-chip training convergence check: train the full-size score net on a
+synthetic 4-object task on the real TPU and verify DSM loss and sampled pose
+error drop; mirrors tests/test_convergence.py (which runs a tiny net on CPU)
+at production model size on hardware.
+
+Measured (1x v5e, 2026-08-17): 3000 steps of bs=64/repeat=20 in 230 s
+(835 samples/s); DSM 9.0 -> 1.4, sampled rotation error 124 -> 33 deg,
+translation error 77 m (VE prior scale) -> 0.29 m.
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import jax.numpy as jnp
+import numpy as np
+
+from genpose_tpu.config import Config
+from genpose_tpu.ops.pose import get_rot_matrix
+from genpose_tpu.training.agent import PoseAgent
+
+BS, N_STEPS = 64, 3000
+rng = np.random.default_rng(0)
+
+# fixed library of 4 clouds with known poses; each batch draws poses anew
+clouds = jnp.asarray(rng.normal(size=(4, 1024, 3)).astype(np.float32) * 0.1)
+
+cfg = Config(num_points=1024, repeat_num=20, batch_size=BS, lr=1e-3,
+             warmup=100)
+agent = PoseAgent(cfg, "score", steps_per_epoch=100)
+
+
+def make_batch(key):
+    k1, k2, k3 = jax.random.split(key, 3)
+    which = jax.random.randint(k1, (BS,), 0, 4)
+    # random rotation via QR of gaussians; translation in [-0.2, 0.2]
+    g = jax.random.normal(k2, (BS, 3, 3))
+    q, r = jnp.linalg.qr(g)
+    q = q * jnp.sign(jnp.diagonal(r, axis1=-2, axis2=-1))[:, None, :]
+    det = jnp.linalg.det(q)
+    q = q.at[:, :, 0].multiply(jnp.sign(det)[:, None])
+    t = jax.random.uniform(k3, (BS, 3), minval=-0.2, maxval=0.2)
+    pts = jnp.einsum("bij,bnj->bni", q, clouds[which]) + t[:, None, :]
+    center = pts.mean(axis=1)
+    # 6D pose = first two COLUMNS of R (transposed convention)
+    pose6 = jnp.concatenate([q[:, :, 0], q[:, :, 1]], axis=-1)
+    gt = jnp.concatenate([pose6, t], axis=-1)
+    return {
+        "zero_mean_pts": pts - center[:, None, :],
+        "zero_mean_gt_pose": gt.at[:, -3:].add(-center),
+        "pts_center": center,
+    }, gt
+
+
+def rot_err_deg(pred, gt):
+    Rp = np.asarray(get_rot_matrix(jnp.asarray(pred[:, :6]), "rot_matrix"))
+    Rg = np.asarray(get_rot_matrix(jnp.asarray(gt[:, :6]), "rot_matrix"))
+    tr = np.einsum("bij,bij->b", Rp, Rg)
+    return np.degrees(np.arccos(np.clip((tr - 1) / 2, -1, 1)))
+
+
+def eval_sampled(tag):
+    key = jax.random.PRNGKey(999)
+    batch, gt = make_batch(key)
+    pred = agent.sample(batch, jax.random.PRNGKey(1000), repeat_num=1,
+                        sampler="ode", num_steps=100)
+    pred = np.asarray(pred)[:, 0]
+    gt = np.asarray(gt)
+    re = rot_err_deg(pred, gt)
+    te = np.linalg.norm(pred[:, -3:] - gt[:, -3:], axis=-1)
+    print(f"{tag}: rot_err {re.mean():.1f} deg  trans_err {te.mean()*100:.1f} cm",
+          flush=True)
+    return re.mean(), te.mean()
+
+re0, te0 = eval_sampled("init")
+key = jax.random.PRNGKey(7)
+t0 = time.perf_counter()
+first = last = None
+for i in range(N_STEPS):
+    key, kb, kl = jax.random.split(key, 3)
+    batch, _ = make_batch(kb)
+    losses = agent.train_step(batch, kl)
+    if i == 0:
+        first = float(losses["gf"])
+    if i % 100 == 0:
+        print(f"step {i}: dsm {float(losses['gf']):.1f}", flush=True)
+last = float(losses["gf"])
+dt = time.perf_counter() - t0
+print(f"{N_STEPS} steps in {dt:.0f}s ({N_STEPS * BS / dt:.0f} samples/s)")
+re1, te1 = eval_sampled("trained")
+print(f"dsm {first:.1f} -> {last:.1f}; rot {re0:.1f} -> {re1:.1f} deg; "
+      f"trans {te0*100:.1f} -> {te1*100:.1f} cm")
+assert last < first / 2, (first, last)
+assert re1 < re0 / 3 and te1 < te0 / 20, (re0, re1, te0, te1)
+print("CONVERGED OK")
