@@ -263,7 +263,13 @@ def inference_pose(cfg: Config, score_agent: PoseAgent, data_path: str,
                 batch = shard_batch(mesh, batch)
             key, k_s = jax.random.split(key)
             pred = score_agent.sample(
-                batch, k_s, repeat_num=cfg.eval_repeat_num, sampler="ode",
+                batch, k_s, repeat_num=cfg.eval_repeat_num,
+                # sampler resolves from cfg.sampler_mode: "ode" (fixed-step
+                # Heun at cfg.sampling_steps) or "ode_adaptive" (RK45 at
+                # atol/rtol 1e-5 — what the reference's released eval/
+                # tracking actually integrate with, since its scripts set no
+                # --sampling_steps and solve_ivp is always adaptive)
+                sampler=None,
                 num_steps=cfg.sampling_steps, T0=cfg.T0)
             pred = np.asarray(pred)[:n_real]  # [n, K, pose_dim]
             rts = _pose_to_rts(pred, cfg.pose_mode)

@@ -185,7 +185,13 @@ def main_tracking(cfg: Config, tracking: bool = True, T0: float = 0.15):
 
         key, k_s = jax.random.split(key)
         pred_pose = score_agent.sample(
-            batch, k_s, repeat_num=cfg.eval_repeat_num, sampler="ode",
+            batch, k_s, repeat_num=cfg.eval_repeat_num,
+                # sampler resolves from cfg.sampler_mode: "ode" (fixed-step
+                # Heun at cfg.sampling_steps) or "ode_adaptive" (RK45 at
+                # atol/rtol 1e-5 — what the reference's released eval/
+                # tracking actually integrate with, since its scripts set no
+                # --sampling_steps and solve_ivp is always adaptive)
+                sampler=None,
             num_steps=cfg.sampling_steps, T0=T0, init_x=init_pose)
         energy = energy_agent.get_energy(batch, pred_pose, T=1e-5)
         sorted_pose, _ = sort_poses_by_energy(pred_pose, energy)
