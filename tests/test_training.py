@@ -289,3 +289,31 @@ def test_sharded_energy_train_step_matches_unsharded():
     # params remain fully replicated after the update
     leaf = jax.tree_util.tree_leaves(sharded.state.params)[0]
     assert leaf.sharding.is_fully_replicated
+
+
+def test_distill_closure_rebuilds_per_teacher():
+    """train_step_distill keys its jitted closure by teacher identity
+    (review regression: the first teacher's model/SDE was silently reused
+    for every later teacher)."""
+    from genpose_tpu.config import Config
+    from genpose_tpu.training.agent import PoseAgent
+
+    cfg = Config(num_points=32, repeat_num=2, batch_size=4, sampling_steps=2)
+    student = PoseAgent(cfg, "score", steps_per_epoch=4)
+    t_ve = PoseAgent(cfg, "score", steps_per_epoch=4, seed=1)
+    t_vp = PoseAgent(cfg.replace(sde_mode="vp"), "score", steps_per_epoch=4,
+                     seed=1)
+
+    key = jax.random.PRNGKey(0)
+    batch = {
+        "zero_mean_pts": jax.random.normal(key, (4, 32, 3)) * 0.1,
+        "zero_mean_gt_pose": jax.random.normal(key, (4, 9)),
+        "pts_center": jnp.zeros((4, 3)),
+    }
+    l1 = student.train_step_distill(t_ve, batch, jax.random.PRNGKey(1))
+    assert student._distill_teacher_id == id(t_ve)
+    assert np.isfinite(float(l1["gf"]))
+    # a different teacher object (different SDE!) must rebuild the closure
+    l2 = student.train_step_distill(t_vp, batch, jax.random.PRNGKey(2))
+    assert student._distill_teacher_id == id(t_vp)
+    assert np.isfinite(float(l2["gf"]))
