@@ -23,7 +23,6 @@ over params and (already-encoded) point-cloud features.
 
 from __future__ import annotations
 
-import functools
 from typing import Callable, Optional
 
 import jax

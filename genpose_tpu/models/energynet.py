@@ -20,9 +20,7 @@ from typing import Callable
 import jax.numpy as jnp
 from flax import linen as nn
 
-from genpose_tpu.models.layers import GaussianFourierProjection, zero_dense
 from genpose_tpu.models.scorenet import PoseTrunk
-from genpose_tpu.ops.pose import get_pose_dim
 
 
 class PoseEnergyNet(nn.Module):

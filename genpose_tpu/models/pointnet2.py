@@ -17,7 +17,7 @@ checkpoints use ``ClsMSG_CFG_Light`` (``pointnet2.py:57-66``) giving a
 
 from __future__ import annotations
 
-from typing import Any, Dict, List, Optional, Sequence, Tuple
+from typing import Any, Dict, List, Optional, Sequence
 
 import jax
 import jax.numpy as jnp

@@ -19,7 +19,6 @@ the jitted sampler compiles ONCE; the K hypotheses ride the batch axis.
 
 from __future__ import annotations
 
-import glob
 import os
 import pickle
 import sys

@@ -21,8 +21,7 @@ jit inserts the gradient psum over ICI (see ``parallel/mesh.py``).
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp
