@@ -29,7 +29,6 @@ from genpose_tpu.ops.pose import (
 from genpose_tpu.runners.evaluation_single import (
     REAL_K,
     _instance_points,
-    _pose_to_rts,
     _zero_center_batch,
 )
 from genpose_tpu.data.dataset_utils import load_depth
@@ -151,6 +150,32 @@ def main_tracking(cfg: Config, tracking: bool = True, T0: float = 0.15):
     errors: Dict[str, list] = {}
     buffer = {"model_name": [], "pred_sRT": None}
 
+    K = cfg.eval_repeat_num
+    keep = max(1, int(0.6 * K))
+    sampler = cfg.sampler_mode[0] if cfg.sampler_mode else "ode"
+
+    @jax.jit
+    def frame_pipeline(s_state, e_state, batch, init_pose, k):
+        """The whole per-frame device chain in ONE dispatch: shared-geometry
+        K-hypothesis sampling (init_x + T0 prior) -> energies -> decoupled
+        sort -> top-60% quaternion-average pool.  An eager chain here costs
+        ~25 ms of tunnel RPC PER OP on remote backends — fusing it is what
+        makes the sequential frame loop device-bound rather than
+        dispatch-bound."""
+        geom = score_agent.pts_geometry(batch["zero_mean_pts"])
+        pred = score_agent._sample_impl(
+            s_state, batch, k, repeat_num=K, sampler=sampler,
+            num_steps=cfg.sampling_steps, T0=T0, init_x=init_pose,
+            geometry=geom)
+        n = batch["zero_mean_pts"].shape[0]
+        t_in = jnp.full((n, K), 1e-5)
+        energy = energy_agent._get_energy_impl(e_state, batch, pred, t_in,
+                                               geometry=geom)
+        sorted_pose, _ = sort_poses_by_energy(pred, energy)
+        # same math as cal_average_sRT on the top-keep hypotheses, on device
+        _, avg = score_agent.aggregate_hypotheses(sorted_pose[:, :keep])
+        return sorted_pose, quat_wxyz_to_matrix(avg[:, :4]), avg[:, 4:]
+
     for path in img_list:
         frame = extract_single_frame_data(cfg, path, rng)
         if frame is None:
@@ -184,22 +209,13 @@ def main_tracking(cfg: Config, tracking: bool = True, T0: float = 0.15):
                     [init_pose, jnp.repeat(init_pose[-1:], n_pad, axis=0)])
 
         key, k_s = jax.random.split(key)
-        pred_pose = score_agent.sample(
-            batch, k_s, repeat_num=cfg.eval_repeat_num,
-                # sampler resolves from cfg.sampler_mode: "ode" (fixed-step
-                # Heun at cfg.sampling_steps) or "ode_adaptive" (RK45 at
-                # atol/rtol 1e-5 — what the reference's released eval/
-                # tracking actually integrate with, since its scripts set no
-                # --sampling_steps and solve_ivp is always adaptive)
-                sampler=None,
-            num_steps=cfg.sampling_steps, T0=T0, init_x=init_pose)
-        energy = energy_agent.get_energy(batch, pred_pose, T=1e-5)
-        sorted_pose, _ = sort_poses_by_energy(pred_pose, energy)
+        sorted_dev, avg_R, avg_t = frame_pipeline(
+            score_agent.state, energy_agent.state, batch, init_pose, k_s)
+        sorted_pose = np.asarray(sorted_dev)[:N]
 
-        sorted_pose = np.asarray(sorted_pose)[:N]
-        rts = _pose_to_rts(sorted_pose, cfg.pose_mode)
-
-        avg_sRT = cal_average_sRT(rts, max(1, int(0.6 * cfg.eval_repeat_num)))
+        avg_sRT = np.tile(np.identity(4), (N, 1, 1))
+        avg_sRT[:, :3, :3] = np.asarray(avg_R)[:N]
+        avg_sRT[:, :3, 3] = np.asarray(avg_t)[:N]
         buffer["model_name"] = frame["model_name"]
         buffer["pred_sRT"] = avg_sRT
 
