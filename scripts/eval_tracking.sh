@@ -1,11 +1,16 @@
 #!/usr/bin/env bash
 # Canonical pose-tracking evaluation (reference scripts/eval_tracking.sh):
 # previous-frame prior, T0=0.15.
+# NOTE: the reference passes --sampler_mode ode, but its 'ode'
+# sampler ALWAYS integrates adaptively (scipy solve_ivp RK45 at
+# atol/rtol 1e-5; --sampling_steps only subsamples the output).
+# Here 'ode' means fixed-step Heun, so the faithful equivalent
+# of the released eval is ode_adaptive.
 python -m genpose_tpu.runners.evaluation_tracking \
   --score_model_dir ScoreNet/ckpt_genpose \
   --energy_model_dir EnergyNet/ckpt_genpose \
   --data_path "${NOCS_DATASET_PATH:?set NOCS_DATASET_PATH}" \
-  --sampler_mode ode \
+  --sampler_mode ode_adaptive \
   --max_eval_num 1000000 \
   --batch_size 256 \
   --seed 0 \
