@@ -88,3 +88,19 @@ def test_tracking_runs_with_dropped_instance(tracking_tree, tmp_path,
         assert np.isfinite(metrics["all"]["mean_error"]).all()
     finally:
         make_synthetic_mrcnn_results(nocs, res, "real_test", tracking=True)
+
+
+def test_tracking_with_adaptive_sampler(tracking_tree, tmp_path, monkeypatch):
+    """--sampler_mode ode_adaptive (the canonical scripts' setting, matching
+    the reference's always-adaptive solve_ivp) resolves through the fused
+    frame pipeline end-to-end."""
+    nocs, res, out_dir = tracking_tree
+    monkeypatch.chdir(tmp_path)
+    cfg = get_config(["--data_path", nocs, "--result_dir", res,
+                      "--test_source", "real_test",
+                      "--sampler_mode", "ode_adaptive",
+                      "--eval_repeat_num", "2",
+                      "--num_points", "64", "--batch_size", "4"])
+    metrics = trk.main_tracking(cfg, tracking=True, T0=0.15)
+    assert "all" in metrics
+    assert np.isfinite(metrics["all"]["mean_error"]).all()
