@@ -261,7 +261,7 @@ def ode_sampler_adaptive(
         t_vec = jnp.full((1, 1), eps)
         drift, diffusion = sde.sde(jnp.asarray(eps))
         grad = score_fn(x, t_vec)
-        x = x + (diffusion**2 * grad - drift) * ((1.0 - eps) / 1000.0)
+        x = x + (diffusion**2 * grad - drift * x) * ((1.0 - eps) / 1000.0)
 
     rot = normalize_rotation(x[:, :-3], pose_mode)
     x = jnp.concatenate([rot, x[:, -3:] + pts_center], axis=-1)

@@ -290,6 +290,44 @@ def test_vp_pf_ode_is_stationary_for_standard_normal():
     np.testing.assert_allclose(np.asarray(x), np.asarray(x0), atol=5e-3)
 
 
+def test_denoise_step_is_exact_vp_subvp():
+    """The final reverse-diffusion denoise step must apply
+    ``x += (g^2 * score - drift_coeff * x) * dt`` — with the x-contraction —
+    in BOTH integrators (regression: the adaptive sampler dropped the ``*x``,
+    a no-op for VE where the coefficient is 0 but a ~5e-5 constant bias per
+    component for vp/subvp).  Isolate the step exactly by running the same
+    key with denoise=False and applying the analytic update host-side;
+    integration error cancels, so atol can sit far below the bug's bias."""
+    from genpose_tpu.diffusion.samplers import ode_sampler_adaptive
+
+    for mode in ("vp", "subvp"):
+        sde = init_sde(mode)
+        score_fn = lambda x, t: -x  # analytic score of N(0, I) data
+        key = jax.random.PRNGKey(7)
+        bs, eps = 8, sde.eps
+        drift_c, diffusion = sde.sde(jnp.asarray(eps))
+        common = dict(batch_size=bs, sde=sde, pose_mode="euler_xyz",
+                      pts_center=jnp.zeros((bs, 3)))
+
+        # adaptive: denoise dt = (1 - eps)/1000
+        _, x_pre = ode_sampler_adaptive(score_fn, key, denoise=False, **common)
+        _, x_den = ode_sampler_adaptive(score_fn, key, denoise=True, **common)
+        want = x_pre + (diffusion**2 * (-x_pre) - drift_c * x_pre) * (
+            (1.0 - eps) / 1000.0)
+        np.testing.assert_allclose(np.asarray(x_den), np.asarray(want),
+                                   atol=1e-7, err_msg=f"adaptive/{mode}")
+
+        # fixed-step: denoise dt = (1 - eps)/num_steps
+        _, x_pre = ode_sampler(score_fn, key, num_steps=50, denoise=False,
+                               **common)
+        _, x_den = ode_sampler(score_fn, key, num_steps=50, denoise=True,
+                               **common)
+        want = x_pre + (diffusion**2 * (-x_pre) - drift_c * x_pre) * (
+            (1.0 - eps) / 50)
+        np.testing.assert_allclose(np.asarray(x_den), np.asarray(want),
+                                   atol=1e-7, err_msg=f"fixed/{mode}")
+
+
 def test_vp_likelihood_of_standard_normal():
     """Same setting: delta_logp integrates to ~0, so the log-likelihood must
     equal the standard-normal logpdf (in bits).  Pins both the drift term
