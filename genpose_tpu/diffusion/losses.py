@@ -77,8 +77,16 @@ def edm_dsm_loss(
     sigma_min: float = 0.002,
     sigma_max: float = 80.0,
 ) -> jnp.ndarray:
-    """EDM-style loss (reference ``losses.py:8-44``): log-uniform sigma,
-    model outputs a score normalized so the residual is (output*sigma + z)."""
+    """EDM-style loss (reference ``losses.py:8-44``, selected when
+    ``sde_mode=='edm'``, ``posenet_agent.py:70-71``): sigma log-uniform in
+    [sigma_min, sigma_max] (t and sigma are interchangeable in EDM),
+    perturbed x = y + sigma*z, loss = ||(D(x, sigma) - y)/sigma||^2.
+
+    ``denoise_fn(x, sigma) -> denoised pose`` (the decoder head's output,
+    D = x + sigma*f).  Algebraically identical to the reference's
+    ``(output*sigma + z)^2`` with its score-style output f/sigma, since
+    (D - y)/sigma = f + z.
+    """
     bs, pose_dim = gt_pose.shape
     k_t, k_z = jax.random.split(key)
     z = jax.random.normal(k_z, (bs, pose_dim))
@@ -87,5 +95,18 @@ def edm_dsm_loss(
         jnp.log(sigma_min) + u * (jnp.log(sigma_max) - jnp.log(sigma_min))
     )
     perturbed_x = gt_pose + z * sigma_t
-    output = denoise_fn(perturbed_x, sigma_t)
-    return jnp.mean(jnp.sum((output * sigma_t + z) ** 2, axis=-1))
+    denoised = denoise_fn(perturbed_x, sigma_t)
+    return jnp.mean(jnp.sum(((denoised - gt_pose) / sigma_t) ** 2, axis=-1))
+
+
+def edm_dsm_loss_repeated(
+    denoise_fn, key, gt_pose, repeat_num: int,
+    sigma_min: float = 0.002, sigma_max: float = 80.0,
+) -> jnp.ndarray:
+    """Average of ``repeat_num`` independent EDM-DSM draws, vectorized like
+    :func:`dsm_loss_repeated` (the agent's ``repeat_num`` loop)."""
+    keys = jax.random.split(key, repeat_num)
+    losses = jax.vmap(
+        lambda k: edm_dsm_loss(denoise_fn, k, gt_pose, sigma_min, sigma_max)
+    )(keys)
+    return jnp.mean(losses)

@@ -23,6 +23,7 @@ over params and (already-encoded) point-cloud features.
 
 from __future__ import annotations
 
+import math
 from typing import Callable, Optional
 
 import jax
@@ -457,7 +458,9 @@ def edm_sampler(
     ) ** rho
     t_steps = jnp.concatenate([t_steps, jnp.zeros((1,))])  # t_N = 0
 
-    gamma_base = min(S_churn / num_steps, jnp.sqrt(2.0) - 1.0)
+    # python-level min: S_churn/num_steps are static, and a jnp.sqrt here
+    # would force a trace-time boolean conversion under jit
+    gamma_base = min(S_churn / num_steps, math.sqrt(2.0) - 1.0)
 
     def step(x_cur, inp):
         (t_cur, t_next, is_not_last), k = inp

@@ -23,7 +23,7 @@ from flax import linen as nn
 from genpose_tpu.models.energynet import PoseEnergyNet
 from genpose_tpu.models.pointnet import PointNetfeat
 from genpose_tpu.models.pointnet2 import Pointnet2ClsMSG
-from genpose_tpu.models.scorenet import PoseScoreNet
+from genpose_tpu.models.scorenet import PoseDecoderNet, PoseScoreNet
 
 
 class GFObjectPose(nn.Module):
@@ -42,6 +42,9 @@ class GFObjectPose(nn.Module):
     energy_mode: str = "IP"
     s_theta_mode: str = "score"
     norm_energy: str = "identical"
+    # EDM denoiser head (sde_mode='edm'): the reference sketches this wiring
+    # at ``posenet.py:49-56`` (commented out there); here it is first-class.
+    decoder_head: bool = False
     bn_axis_name: str | None = None
     dtype: jnp.dtype = jnp.float32
 
@@ -62,12 +65,20 @@ class GFObjectPose(nn.Module):
             raise NotImplementedError(self.pts_encoder)
 
         if self.posenet_mode == "score":
-            self.head = PoseScoreNet(
-                marginal_prob_fn=self.marginal_prob_fn,
-                pose_mode=self.pose_mode,
-                regression_head=self.regression_head,
-                dtype=self.dtype,
-            )
+            if self.decoder_head:
+                self.head = PoseDecoderNet(
+                    marginal_prob_fn=self.marginal_prob_fn,
+                    pose_mode=self.pose_mode,
+                    regression_head=self.regression_head,
+                    dtype=self.dtype,
+                )
+            else:
+                self.head = PoseScoreNet(
+                    marginal_prob_fn=self.marginal_prob_fn,
+                    pose_mode=self.pose_mode,
+                    regression_head=self.regression_head,
+                    dtype=self.dtype,
+                )
         elif self.posenet_mode == "energy":
             self.head = PoseEnergyNet(
                 marginal_prob_fn=self.marginal_prob_fn,
@@ -101,9 +112,22 @@ class GFObjectPose(nn.Module):
         return nn.relu(self.fusion_layer(feat))
 
     def score(self, pts_feat, sampled_pose, t):
-        """Score head (score mode only)."""
+        """Score head (score mode only).  For the EDM decoder head the score
+        is derived from the denoiser: s = (D - x)/sigma^2."""
         assert self.posenet_mode == "score"
+        if self.decoder_head:
+            return self.head.score_from(self.head.precompute(pts_feat),
+                                        sampled_pose, t)
         return self.head(pts_feat, sampled_pose, t)
+
+    def denoise(self, pts_feat, sampled_pose, t):
+        """EDM denoiser D(x, sigma) (decoder head only)."""
+        assert self.posenet_mode == "score" and self.decoder_head
+        return self.head(pts_feat, sampled_pose, t)
+
+    def denoise_with(self, projs, sampled_pose, t):
+        assert self.posenet_mode == "score" and self.decoder_head
+        return self.head.denoise_from(projs, sampled_pose, t)
 
     def energy(self, pts_feat, sampled_pose, t, decoupled_rt: bool = True):
         """Energy head (energy mode only)."""

@@ -23,7 +23,6 @@ from genpose_tpu.models.layers import (
     PerPointTail,
     PositionalEmbedding,
     SplitTail,
-    zero_dense,
 )
 from genpose_tpu.ops.pose import get_pose_dim
 
@@ -164,43 +163,77 @@ class PoseScoreNet(nn.Module):
 
 
 class PoseDecoderNet(nn.Module):
-    """EDM-style denoiser head (ref ``scorenet.py:225-364``; unused by the
-    default config but part of the capability surface)."""
+    """EDM-style denoiser head ``D(x, sigma) = x + sigma * f_theta(x, sigma)``
+    (ref ``scorenet.py:225-364``, using the VE-style scaling branch the
+    reference keeps active: c_skip=1, c_out=sigma, c_in=1,
+    c_noise=log(sigma/2); its Karras-EDM scalings are commented out there).
 
-    marginal_prob_fn: Callable
-    sigma_data: float = 1.4148
+    Same concat order ``[pts_feat, sigma_feat, pose_feat]`` and tail shapes
+    as :class:`PoseScoreNet` (``scorenet.py:344-346``), so the tails reuse
+    ``FusedTails``/``SplitTail`` and samplers hoist the loop-invariant
+    pts_feat projections via :meth:`precompute`/:meth:`denoise_from` —
+    mirroring the score net's pattern.
+    """
+
+    marginal_prob_fn: Callable  # (x, t) -> (mean, std); std == t for EDM
+    sigma_data: float = 1.4148  # ref signature parity; unused by VE scaling
     pose_mode: str = "rot_matrix"
     regression_head: str = "Rx_Ry_and_T"
     dtype: jnp.dtype = jnp.float32
 
-    @nn.compact
-    def __call__(self, pts_feat, sampled_pose, t):
+    def setup(self):
         pose_dim = get_pose_dim(self.pose_mode)
+        self.sigma_embed = PositionalEmbedding(num_channels=128,
+                                               name="sigma_embed")
+        self.sigma_dense = nn.Dense(128, dtype=self.dtype, name="sigma_dense")
+        self.pose_dense_0 = nn.Dense(256, dtype=self.dtype, name="pose_dense_0")
+        self.pose_dense_1 = nn.Dense(256, dtype=self.dtype, name="pose_dense_1")
+        specs = _tail_specs(self.regression_head, pose_dim)
+        if len({(h, o) for _, h, o in specs}) == 1:
+            self.tails = FusedTails(
+                num_tails=len(specs), hidden=specs[0][1], out_dim=specs[0][2],
+                dtype=self.dtype, name="tails")
+        else:
+            self.tails = [
+                SplitTail(hidden, out_dim, dtype=self.dtype, name=name)
+                for name, hidden, out_dim in specs
+            ]
+
+    def precompute(self, pts_feat):
+        """Loop-invariant tail projections of pts_feat."""
+        if isinstance(self.tails, FusedTails):
+            return self.tails.precompute(pts_feat)
+        return tuple(tail.precompute(pts_feat) for tail in self.tails)
+
+    def _f_theta_from(self, projs, sampled_pose, t):
         _, sigma_t = self.marginal_prob_fn(None, t)
         sigma_t = jnp.reshape(sigma_t, (-1, 1))
-
-        # VE-style scaling (ref scorenet.py:337-341)
-        c_skip, c_out, c_in = 1.0, sigma_t, 1.0
         c_noise = jnp.log(sigma_t / 2.0)
+        sig_feat = nn.relu(self.sigma_dense(self.sigma_embed(c_noise[:, 0])))
+        pose_feat = nn.relu(self.pose_dense_0(sampled_pose))
+        pose_feat = nn.relu(self.pose_dense_1(pose_feat))
+        if isinstance(self.tails, FusedTails):
+            return sigma_t, self.tails.from_proj(projs, sig_feat, pose_feat)
+        if sig_feat.shape[0] != pose_feat.shape[0]:
+            sig_feat = jnp.broadcast_to(
+                sig_feat, (pose_feat.shape[0], sig_feat.shape[1]))
+        dyn_feat = jnp.concatenate([sig_feat, pose_feat], axis=-1)
+        return sigma_t, jnp.concatenate(
+            [tail.from_proj(fp, dyn_feat) for tail, fp in zip(self.tails, projs)],
+            axis=-1,
+        )
 
-        pose_feat = nn.relu(nn.Dense(256, dtype=self.dtype)(sampled_pose * c_in))
-        pose_feat = nn.relu(nn.Dense(256, dtype=self.dtype)(pose_feat))
-        sig_feat = PositionalEmbedding(num_channels=128)(c_noise[:, 0])
-        sig_feat = nn.relu(nn.Dense(128, dtype=self.dtype)(sig_feat))
-        total_feat = jnp.concatenate([pts_feat, sig_feat, pose_feat], axis=-1)
+    def denoise_from(self, projs, sampled_pose, t):
+        """Denoised pose given precomputed projections; t may be [N,1] or a
+        step-shared [1,1] (broadcasts like the score trunk)."""
+        sigma_t, f = self._f_theta_from(projs, sampled_pose, t)
+        return sampled_pose + sigma_t * f  # c_skip*x + c_out*f
 
-        if self.regression_head == "RT":
-            h = nn.relu(nn.Dense(512, dtype=self.dtype)(total_feat))
-            out = zero_dense(pose_dim, dtype=self.dtype)(h)
-        elif self.regression_head == "Rx_Ry_and_T":
-            hx = nn.relu(nn.Dense(256, dtype=self.dtype)(total_feat))
-            rx = zero_dense(3, dtype=self.dtype)(hx)
-            hy = nn.relu(nn.Dense(256, dtype=self.dtype)(total_feat))
-            ry = zero_dense(3, dtype=self.dtype)(hy)
-            ht = nn.relu(nn.Dense(256, dtype=self.dtype)(total_feat))
-            tr = zero_dense(3, dtype=self.dtype)(ht)
-            out = jnp.concatenate([rx, ry, tr], axis=-1)
-        else:
-            raise NotImplementedError(self.regression_head)
+    def score_from(self, projs, sampled_pose, t):
+        """Score of the implied marginal: s = (D - x)/sigma^2 = f/sigma —
+        lets the generic PF-ODE/PC samplers drive a denoiser head."""
+        sigma_t, f = self._f_theta_from(projs, sampled_pose, t)
+        return f / sigma_t
 
-        return c_skip * sampled_pose + c_out * out
+    def __call__(self, pts_feat, sampled_pose, t, train: bool = False):
+        return self.denoise_from(self.precompute(pts_feat), sampled_pose, t)

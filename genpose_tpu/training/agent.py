@@ -27,8 +27,9 @@ import jax
 import jax.numpy as jnp
 
 from genpose_tpu.config import Config
-from genpose_tpu.diffusion.losses import dsm_loss_repeated
+from genpose_tpu.diffusion.losses import dsm_loss_repeated, edm_dsm_loss_repeated
 from genpose_tpu.diffusion.samplers import (
+    edm_sampler,
     ode_likelihood,
     ode_sampler,
     ode_sampler_adaptive,
@@ -63,6 +64,12 @@ class PoseAgent:
         self.sde = init_sde(cfg.sde_mode)
         self.mesh = mesh
         self.pose_dim = get_pose_dim(cfg.pose_mode)
+        # EDM generative path (ref ``posenet_agent.py:70-71`` selects
+        # loss_fn_edm; the decoder head the reference sketches at
+        # ``posenet.py:49-56`` is wired for real here): score agents get a
+        # PoseDecoderNet head trained with the EDM loss; energy agents keep
+        # their energy head and derive the denoiser from its autograd score.
+        self.is_edm = cfg.sde_mode == "edm"
 
         dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
         self.model = GFObjectPose(
@@ -76,6 +83,7 @@ class PoseAgent:
             energy_mode=cfg.energy_mode,
             s_theta_mode=cfg.s_theta_mode,
             norm_energy=cfg.norm_energy,
+            decoder_head=self.is_edm and self.mode == "score",
             dtype=dtype,
         )
 
@@ -197,6 +205,45 @@ class PoseAgent:
 
         return energy_fn
 
+    def _head_denoise_fn(self, params, batch_stats, feat, repeat: int = 1):
+        """denoise_fn(pose, sigma) -> denoised pose (EDM).  Native for the
+        decoder head; for score/energy heads derived via the exact identity
+        D = x + sigma^2 * s(x, sigma)."""
+        if self.model.decoder_head:
+            variables = {"params": params, "batch_stats": batch_stats}
+            projs = self.model.apply(variables, feat,
+                                     method=GFObjectPose.precompute_head)
+            if repeat > 1:
+                projs = jax.tree.map(lambda p: jnp.repeat(p, repeat, axis=0),
+                                     projs)
+
+            def denoise_fn(pose, t):
+                return self.model.apply(variables, projs, pose, t,
+                                        method=GFObjectPose.denoise_with)
+
+            return denoise_fn
+
+        score_fn = self._head_score_fn(params, batch_stats, feat, repeat)
+
+        def denoise_fn(pose, t):
+            _, sigma = self.sde.marginal_prob(None, t)
+            sigma = jnp.reshape(sigma, (-1, 1))
+            return pose + sigma**2 * score_fn(pose, t)
+
+        return denoise_fn
+
+    def _gf_loss(self, params, batch_stats, feat, key, gt_pose):
+        """The generative-framework DSM term: standard score matching, or the
+        EDM loss when sde_mode=='edm' (ref ``posenet_agent.py:70-71``)."""
+        if self.is_edm:
+            denoise_fn = self._head_denoise_fn(params, batch_stats, feat)
+            return edm_dsm_loss_repeated(
+                denoise_fn, key, gt_pose, self.cfg.repeat_num,
+                sigma_min=self.sde.eps, sigma_max=self.sde.T)
+        score_fn = self._head_score_fn(params, batch_stats, feat)
+        return dsm_loss_repeated(score_fn, key, gt_pose, self.sde,
+                                 self.cfg.repeat_num)
+
     # ------------------------------------------------------------------
     # score training
     # ------------------------------------------------------------------
@@ -209,11 +256,8 @@ class PoseAgent:
             feat, new_stats = self._encode_and_score_fn(
                 params, state.batch_stats, batch["zero_mean_pts"], train=True
             )
-            score_fn = self._head_score_fn(params, new_stats, feat)
-            loss = dsm_loss_repeated(
-                score_fn, key, batch["zero_mean_gt_pose"], self.sde,
-                self.cfg.repeat_num,
-            )
+            loss = self._gf_loss(params, new_stats, feat, key,
+                                 batch["zero_mean_gt_pose"])
             return loss, new_stats
 
         (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
@@ -228,10 +272,8 @@ class PoseAgent:
         feat, _ = self._encode_and_score_fn(
             state.ema.shadow, state.batch_stats, batch["zero_mean_pts"], train=False
         )
-        score_fn = self._head_score_fn(state.ema.shadow, state.batch_stats, feat)
-        return dsm_loss_repeated(
-            score_fn, key, batch["zero_mean_gt_pose"], self.sde, self.cfg.repeat_num
-        )
+        return self._gf_loss(state.ema.shadow, state.batch_stats, feat, key,
+                             batch["zero_mean_gt_pose"])
 
     def train_step(self, batch, key) -> Dict[str, jnp.ndarray]:
         self.state, losses = self._train_step_score(self.state, batch, key)
@@ -282,7 +324,10 @@ class PoseAgent:
         # tree_map rebuilds the dict containers, so in-place edits below
         # cannot alias the old state
         params = jax.tree_util.tree_map(lambda x: x, self.state.params)
-        trunk = params["head"]["trunk"] if "head" in params else params["trunk"]
+        head = params["head"] if "head" in params else params
+        # score/energy heads nest tails under "trunk"; the EDM decoder head
+        # keeps them at its top level
+        trunk = head["trunk"] if "trunk" in head else head
         if "tails" in trunk:  # fused bank
             trunk["tails"]["out_kernel"] = jnp.zeros_like(
                 trunk["tails"]["out_kernel"])
@@ -332,11 +377,8 @@ class PoseAgent:
             feat, new_stats = self._encode_and_score_fn(
                 params, state.batch_stats, batch["zero_mean_pts"], train=True
             )
-            score_fn = self._head_score_fn(params, new_stats, feat)
-            dsm = dsm_loss_repeated(
-                score_fn, k_dsm, batch["zero_mean_gt_pose"], self.sde,
-                self.cfg.repeat_num,
-            )
+            dsm = self._gf_loss(params, new_stats, feat, k_dsm,
+                                batch["zero_mean_gt_pose"])
 
             energy_fn = self._head_energy_fn(params, new_stats, feat,
                                              repeat=K)
@@ -412,6 +454,21 @@ class PoseAgent:
                 num_steps=num_steps, init_x=init_rep, pts_center=center_rep,
                 return_process=return_process,
             )
+        elif sampler == "edm":
+            # Heun EDM sampler over the denoiser (ref ``cond_edm_sampler``,
+            # ``samplers.py:230-290`` — which, like here, has no init_x/T0
+            # pathway).  Requires the EDM sigma ladder.
+            assert self.is_edm, "sampler='edm' requires sde_mode='edm'"
+            assert init_x is None and T0 is None, \
+                "the EDM sampler has no init_x/T0 pathway (ref samplers.py:230)"
+            denoise_fn = self._head_denoise_fn(params, state.batch_stats, feat,
+                                               repeat=repeat_num)
+            process, res = edm_sampler(
+                denoise_fn, key, bs * repeat_num, self.cfg.pose_mode,
+                num_steps=num_steps, sigma_min=self.sde.eps,
+                sigma_max=self.sde.T, pts_center=center_rep,
+                return_process=return_process,
+            )
         else:
             raise NotImplementedError(sampler)
 
@@ -425,6 +482,8 @@ class PoseAgent:
                T0=None, init_x=None, use_ema=True, return_process=False):
         sampler = sampler or (self.cfg.sampler_mode[0] if self.cfg.sampler_mode
                               else "ode")
+        if sampler == "edm" and num_steps is None:
+            num_steps = 18  # ref cond_edm_sampler default (samplers.py:232)
         num_steps = num_steps or self.cfg.sampling_steps
         return self._sample(
             self.state, batch, key, repeat_num=repeat_num, sampler=sampler,

@@ -135,8 +135,15 @@ def port_trunk(
             stats[flax_name] = ts
         return params, stats
 
-    # non-per-point: each torch tail is Linear(1024+128+256 -> H) + ReLU +
-    # Linear(H -> out); split the first kernel's rows into [pts, t, pose]
+    params.update(_port_tails(sd, prefix, specs))
+    return params, stats
+
+
+def _port_tails(sd: Dict[str, Any], prefix: str, specs) -> Dict[str, Any]:
+    """Port fusion tails shared by the score/energy trunk AND the EDM decoder
+    (identical torch shapes, ``scorenet.py:118-176`` and ``:261-312``): each
+    tail is Linear(1024+128+256 -> H) + ReLU + Linear(H -> out); the first
+    kernel's rows are split into [pts, t-or-sigma, pose] blocks."""
     w1s, b1s, w2s, b2s = [], [], [], []
     for _, torch_name, _ in specs:
         w1s.append(_np(sd[f"{prefix}{torch_name}.0.weight"]).T)  # [1408, H]
@@ -148,22 +155,39 @@ def port_trunk(
     if len(hidden_outs) == 1:
         # FusedTails bank: K tails' kernels side by side (models/layers.py)
         w1 = np.concatenate(w1s, axis=1)  # [1408, K*H]
-        params["tails"] = {
+        return {"tails": {
             "feat_kernel": np.ascontiguousarray(w1[:1024]),
             "t_kernel": np.ascontiguousarray(w1[1024:1152]),
             "pose_kernel": np.ascontiguousarray(w1[1152:]),
             "bias": np.concatenate(b1s, axis=0),
             "out_kernel": np.stack(w2s, axis=0),  # [K, H, out]
             "out_bias": np.stack(b2s, axis=0),
+        }}
+    params: Dict[str, Any] = {}
+    for (flax_name, _, _), w1, b1, w2, b2 in zip(specs, w1s, b1s, w2s, b2s):
+        params[flax_name] = {
+            "feat": {"kernel": np.ascontiguousarray(w1[:1024])},
+            "dyn": {"kernel": np.ascontiguousarray(w1[1024:]), "bias": b1},
+            "out": {"kernel": w2, "bias": b2},
         }
-    else:
-        for (flax_name, _, _), w1, b1, w2, b2 in zip(specs, w1s, b1s, w2s, b2s):
-            params[flax_name] = {
-                "feat": {"kernel": np.ascontiguousarray(w1[:1024])},
-                "dyn": {"kernel": np.ascontiguousarray(w1[1024:]), "bias": b1},
-                "out": {"kernel": w2, "bias": b2},
-            }
-    return params, stats
+    return params
+
+
+def port_decoder(
+    sd: Dict[str, Any], prefix: str, regression_head: str = "Rx_Ry_and_T"
+) -> Dict[str, Any]:
+    """Port a torch ``PoseDecoderNet`` (ref ``scorenet.py:225-364``)
+    state_dict slice to flax ``PoseDecoderNet`` params (no batch stats; the
+    decoder has no BN).  torch names: ``sigma_encoder.1`` (the Dense after
+    the parameter-free PositionalEmbedding), ``pose_encoder.0/.2``,
+    ``fusion_tail*``."""
+    params: Dict[str, Any] = {
+        "sigma_dense": _dense(sd, f"{prefix}sigma_encoder.1"),
+        "pose_dense_0": _dense(sd, f"{prefix}pose_encoder.0"),
+        "pose_dense_1": _dense(sd, f"{prefix}pose_encoder.2"),
+    }
+    params.update(_port_tails(sd, prefix, _TAIL_NAMES[regression_head]))
+    return params
 
 
 # ---------------------------------------------------------------------------
@@ -236,6 +260,7 @@ def port_gf_state_dict(
     regression_head: str = "Rx_Ry_and_T",
     per_point_feature: bool = False,
     pts_feat_dim: int = 1280,
+    decoder_head: bool = False,
 ) -> Dict[str, Any]:
     """Port a full torch ``GFObjectPose`` state_dict onto the flax
     ``GFObjectPose`` variables template (from ``model.init``).
@@ -263,12 +288,17 @@ def port_gf_state_dict(
     else:
         raise NotImplementedError(pts_encoder)
 
-    trunk_p, trunk_s = port_trunk(
-        sd, "pose_score_net.", regression_head=regression_head,
-        per_point_feature=per_point_feature, pts_feat_dim=pts_feat_dim)
-    params["head"] = {"trunk": trunk_p}
-    if trunk_s:
-        stats["head"] = {"trunk": trunk_s}
+    if decoder_head:
+        # EDM decoder head: its params sit directly under "head" (no trunk)
+        params["head"] = port_decoder(sd, "pose_score_net.",
+                                      regression_head=regression_head)
+    else:
+        trunk_p, trunk_s = port_trunk(
+            sd, "pose_score_net.", regression_head=regression_head,
+            per_point_feature=per_point_feature, pts_feat_dim=pts_feat_dim)
+        params["head"] = {"trunk": trunk_p}
+        if trunk_s:
+            stats["head"] = {"trunk": trunk_s}
 
     _check_like(variables["params"], params)
     template_stats = variables.get("batch_stats", {})

@@ -176,6 +176,64 @@ def test_score_forward_parity_per_point(ref):
 
 
 # ---------------------------------------------------------------------------
+# EDM decoder parity
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("regression_head,pose_mode", [
+    ("RT", "rot_matrix"),
+    ("R_and_T", "rot_matrix"),
+    ("Rx_Ry_and_T", "rot_matrix"),
+])
+def test_decoder_forward_parity(ref, regression_head, pose_mode):
+    """``PoseDecoderNet`` denoiser forward vs the torch reference with ported
+    weights (``scorenet.py:225-364``): certifies the PositionalEmbedding,
+    the c_noise=log(sigma/2) path, the [pts, sigma, pose] concat order, and
+    the shared-tails kernel repacking.  Includes param-count equality."""
+    from genpose_tpu.models.scorenet import PoseDecoderNet
+    from genpose_tpu.ops.pose import get_pose_dim
+    from genpose_tpu.utils.torch_port import port_decoder
+
+    _, edm_marginal, _, _, _ = ref["sde"].init_sde("edm")
+    tnet = ref["scorenet"].PoseDecoderNet(
+        edm_marginal, 1.4148, pose_mode, regression_head)
+    _randomize(tnet, seed=21)
+    tnet.eval()
+
+    pose_dim = get_pose_dim(pose_mode)
+    rng = np.random.RandomState(23)
+    pts_feat = rng.randn(6, 1024).astype(np.float32)
+    pose = rng.randn(6, pose_dim).astype(np.float32)
+    # sigma == t in EDM; cover the whole log ladder
+    t = np.exp(rng.uniform(np.log(0.002), np.log(80.0), (6, 1))).astype(
+        np.float32)
+
+    with torch.no_grad():
+        t_out = tnet({
+            "pts_feat": torch.from_numpy(pts_feat),
+            "sampled_pose": torch.from_numpy(pose),
+            "t": torch.from_numpy(t),
+        }).numpy()
+
+    sde = init_sde("edm")
+    jnet = PoseDecoderNet(marginal_prob_fn=sde.marginal_prob,
+                          pose_mode=pose_mode, regression_head=regression_head)
+    template = jnet.init(jax.random.PRNGKey(0), jnp.asarray(pts_feat),
+                         jnp.asarray(pose), jnp.asarray(t))
+    dec_p = port_decoder(tnet.state_dict(), "", regression_head=regression_head)
+
+    n_torch = sum(p.numel() for p in tnet.parameters())
+    n_flax = sum(int(np.prod(np.shape(x)))
+                 for x in jax.tree_util.tree_leaves(dec_p))
+    assert n_torch == n_flax
+    jax.tree_util.tree_map(lambda a, b: None, template["params"], dec_p)
+
+    j_out = np.asarray(jnet.apply(
+        {"params": dec_p}, jnp.asarray(pts_feat), jnp.asarray(pose),
+        jnp.asarray(t)))
+    np.testing.assert_allclose(j_out, t_out, rtol=1e-4, atol=2e-4)
+
+
+# ---------------------------------------------------------------------------
 # energy network parity (forward + autograd score)
 # ---------------------------------------------------------------------------
 
