@@ -120,7 +120,9 @@ def render_scene(
 
     for k in ("poses", "size", "bboxes", "rotations", "translations"):
         gts[k] = np.asarray(gts[k])
-    for k in ("scales", "handle_visibility"):
+    # real NOCS label pkls store these as arrays too (the reference's
+    # compute_mAP calls .astype on gt_class_ids, ``sgpa_utils.py:1001``)
+    for k in ("scales", "handle_visibility", "class_ids", "instance_ids"):
         gts[k] = np.asarray(gts[k])
     return rgb, depth.astype(np.uint16), mask, gts
 

@@ -255,7 +255,11 @@ def compute_ap_and_acc(pred_matches, pred_scores, gt_matches):
         precisions[i] = max(precisions[i], precisions[i + 1])
     idx = np.where(recalls[:-1] != recalls[1:])[0] + 1
     ap = np.sum((recalls[idx] - recalls[idx - 1]) * precisions[idx])
-    acc = np.sum(pred_matches > -1) / len(pred_matches) if len(pred_matches) else 0.0
+    # empty-class 0/0 -> nan, exactly like the reference (sgpa_utils.py:647);
+    # absent classes must read "nan" in eval_logs_single_cls.txt, not 0.0
+    with np.errstate(invalid="ignore"):
+        acc = np.float64(np.sum(pred_matches > -1)) / len(pred_matches) \
+            if len(pred_matches) else np.float64("nan")
     return ap, acc
 
 

@@ -15,6 +15,7 @@ Re-design of reference ``networks/reward.py``:
 from __future__ import annotations
 
 import jax.numpy as jnp
+from flax import linen as nn
 
 
 def ranking_loss(energy: jnp.ndarray) -> jnp.ndarray:
@@ -68,33 +69,23 @@ def sort_poses_by_energy(poses: jnp.ndarray, energy: jnp.ndarray):
     return sorted_poses, sorted_energy
 
 
-class RewardModel:
+class RewardModel(nn.Module):
     """Standalone pose-reward MLP (ref ``reward.py:14-60``).
 
     Unused by the default GenPose pipeline (the energy net plays this role);
-    kept for capability parity.  Flax module deferred-imported to keep this
-    module lightweight for the loss-only callers.
+    kept for capability parity.  Architecture mirrors the reference: pose
+    encoder pose_dim->256->256, concat with the 1024-d pts feature, decoder
+    1280->256->2 (rotation score, translation score).
     """
 
-    def __new__(cls, pose_mode: str = "rot_matrix", dtype=None):
-        import jax.numpy as jnp_
-        from flax import linen as nn
+    pose_mode: str = "rot_matrix"
+    dtype: object = jnp.float32
 
-        from genpose_tpu.ops.pose import get_pose_dim
-
-        class _RewardModel(nn.Module):
-            pose_dim: int
-            dtype: object = jnp_.float32
-
-            @nn.compact
-            def __call__(self, pts_feature, pose):
-                """pts_feature [bs, 1024], pose [bs, pose_dim] ->
-                [bs, 2] (rotation score, translation score)."""
-                h = nn.relu(nn.Dense(256, dtype=self.dtype)(pose))
-                h = nn.relu(nn.Dense(256, dtype=self.dtype)(h))
-                f = jnp_.concatenate([pts_feature, h], axis=-1)
-                f = nn.relu(nn.Dense(256, dtype=self.dtype)(f))
-                return nn.Dense(2, dtype=self.dtype)(f)
-
-        return _RewardModel(pose_dim=get_pose_dim(pose_mode),
-                            dtype=dtype or jnp_.float32)
+    @nn.compact
+    def __call__(self, pts_feature, pose):
+        """pts_feature [bs, 1024], pose [bs, pose_dim] -> [bs, 2]."""
+        h = nn.relu(nn.Dense(256, dtype=self.dtype)(pose))
+        h = nn.relu(nn.Dense(256, dtype=self.dtype)(h))
+        f = jnp.concatenate([pts_feature, h], axis=-1)
+        f = nn.relu(nn.Dense(256, dtype=self.dtype)(f))
+        return nn.Dense(2, dtype=self.dtype)(f)

@@ -1,0 +1,117 @@
+"""CLI glue end-to-end (VERDICT r2 weak #3).
+
+The arg-parsing -> config -> stage-wiring layer of the three entry points is
+executed for real on the synthetic NOCS tree, asserting the reference's
+artifact set (``evaluation_single.py:62-102``, ``trainer.py:213-230``):
+
+- ``evaluation_single.main``: stages 1-4 -> segmentation pkl, results pkls,
+  eval_logs(.txt/_single_cls.txt), mAP curve png;
+- ``evaluation_tracking.main``: frame loop -> tracking eval_logs.txt;
+- ``trainer.main`` eval flows: ``--eval`` -> metrics.json + results.pkl,
+  then ``--results_path`` -> average_results.pkl (quaternion-pooled errors).
+"""
+
+import glob
+import json
+import os
+import pickle
+
+import numpy as np
+import pytest
+
+from genpose_tpu.data.synthetic import (
+    make_synthetic_mrcnn_results,
+    make_synthetic_nocs_dir,
+)
+
+
+@pytest.fixture(scope="module")
+def tree(tmp_path_factory):
+    root = tmp_path_factory.mktemp("climains")
+    nocs = make_synthetic_nocs_dir(str(root / "nocs"), n_camera_scenes=1,
+                                   n_real_scenes=2, seed=23)
+    res = str(root / "res")
+    make_synthetic_mrcnn_results(nocs, res, "real_test")
+    trk_res = str(root / "trkres")
+    make_synthetic_mrcnn_results(nocs, trk_res, "real_test", tracking=True)
+    return nocs, res, trk_res
+
+
+COMMON = ["--eval_repeat_num", "2", "--batch_size", "4", "--num_points", "64",
+          "--sampling_steps", "4", "--num_devices", "1"]
+
+
+def test_evaluation_single_main_artifacts(tree, tmp_path, monkeypatch):
+    from genpose_tpu.runners import evaluation_single as ev
+
+    nocs, res, _ = tree
+    monkeypatch.chdir(tmp_path)
+    ev.main(["--data_path", nocs, "--result_dir", res,
+             "--test_source", "real_test", "--T0", "0.55",
+             "--sampler_mode", "ode", "--pooling_mode", "average",
+             "--ranker", "energy_ranker"] + COMMON)
+
+    ev_root = os.path.join(res, "evaluation_results")
+    assert os.path.exists(
+        os.path.join(ev_root, "segmentation_results_real_test.pkl"))
+    inf_dir = os.path.join(ev_root, "real_test_repeat_2")
+    for pkl in ("results_wo_energy.pkl", "results_with_energy.pkl",
+                "cls_data.pkl"):
+        assert os.path.exists(os.path.join(inf_dir, pkl)), pkl
+    with open(os.path.join(inf_dir, "results_with_energy.pkl"), "rb") as f:
+        we = pickle.load(f)
+    some = next(iter(we.values()))["result"]
+    assert np.isfinite(some["multi_hypothesis_pred_RTs"]).all()
+
+    log_dir = os.path.join(inf_dir, "results", "average", "energy_ranker")
+    for log in ("eval_logs.txt", "eval_logs_single_cls.txt"):
+        path = os.path.join(log_dir, log)
+        assert os.path.exists(path), log
+        assert "degree" in open(path).read()
+    assert glob.glob(os.path.join(log_dir, "*_mAP.png"))
+
+
+def test_evaluation_tracking_main_artifacts(tree, tmp_path, monkeypatch):
+    from genpose_tpu.runners import evaluation_tracking as trk
+
+    nocs, _, trk_res = tree
+    monkeypatch.chdir(tmp_path)
+    trk.main(["--data_path", nocs, "--result_dir", trk_res,
+              "--test_source", "real_test", "--T0", "0.15",
+              "--sampler_mode", "ode"] + COMMON)
+
+    log_dir = os.path.join(trk_res, "evaluation_results",
+                           "real_test_repeat_2", "results", "nearest",
+                           "energy_ranker")
+    path = os.path.join(log_dir, "eval_logs.txt")
+    assert os.path.exists(path)
+    text = open(path).read()
+    assert "mean_error" in text and "5d5cm_acc" in text
+
+
+def test_trainer_main_eval_then_results_path(tree, tmp_path, monkeypatch):
+    from genpose_tpu.runners import trainer
+
+    nocs, _, _ = tree
+    monkeypatch.chdir(tmp_path)
+    common = ["--data_path", nocs, "--mini_bs", "4", "--repeat_num", "2",
+              "--num_workers", "1", "--log_dir", "climain",
+              "--max_eval_num", "1"] + COMMON
+
+    trainer.main(["--agent_type", "score", "--eval", "true"] + common)
+    save = (tmp_path / "results" / "inference_results" / "climain" /
+            "Real_ode_4")
+    assert (save / "metrics.json").exists()
+    metrics = json.loads((save / "metrics.json").read_text())
+    # repeat_num=2 -> two repeat entries of [rot_err, trans_err] rows
+    assert set(metrics) == {"index_0", "index_1"}
+    assert np.isfinite(np.asarray(metrics["index_0"])).all()
+    results_path = save / "results.pkl"
+    assert results_path.exists()
+
+    trainer.main(["--results_path", str(results_path)] + common)
+    avg = save / "average_results.pkl"
+    assert avg.exists()
+    with open(avg, "rb") as f:
+        err = pickle.load(f)
+    assert err.ndim == 2 and err.shape[1] == 2 and np.isfinite(err).all()

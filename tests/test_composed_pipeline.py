@@ -1,0 +1,308 @@
+"""Composed-pipeline golden test (VERDICT r2 'do this' #1).
+
+Every component is golden-tested against the reference individually
+(score/energy forward, encoder, integrator, ranking, ``compute_mAP``); this
+test proves the COMPOSITION: the reference's own ``runners/evaluation_single``
+stages 2-4 (``inference_pose`` -> ``inference_energy`` -> ``evaluate``,
+``evaluation_single.py:356-544``) run on CPU torch via the bridge, on the
+same segmentation pkl (produced once by OUR stage 1), with the same
+randomized weights ported into the flax agents — and the final mAP tables
+must match ours line for line.
+
+Determinism: the additive prior draw is zeroed on both sides (the
+reference's via its injectable ``prior_fn``, ours via a ``dataclasses.replace``
+on the agent's SDE), T0=0.55, and both sides integrate the PF-ODE adaptively
+(reference: scipy ``solve_ivp`` RK45 at atol/rtol 1e-5; ours:
+``ode_sampler_adaptive`` — endpoint parity ~2e-7 proven in
+``test_reference_parity.py``).  Residual differences (our batch padding
+shares one adaptive step size across padded rows; the reference's
+flipped-sign eps-denoise step, ``samplers.py:216``) are bounded well below
+the 1-degree / 0.5-cm threshold grid, so the AP tables agree exactly.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import importlib
+import os
+import pickle
+import sys
+import types
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax
+import jax.numpy as jnp
+
+import _reference_bridge as rb
+
+from genpose_tpu.config import get_config
+from genpose_tpu.data.synthetic import (
+    make_synthetic_mrcnn_results,
+    make_synthetic_nocs_dir,
+)
+from genpose_tpu.runners import evaluation_single as ours
+from genpose_tpu.training.agent import PoseAgent
+from genpose_tpu.utils.torch_port import port_gf_state_dict
+
+N_PTS = 64
+K = 3
+BS = 8
+T0 = 0.55
+
+
+def _randomize(net, seed, scale=0.05):
+    g = torch.Generator().manual_seed(seed)
+    with torch.no_grad():
+        for p in net.parameters():
+            p.copy_(torch.randn(p.shape, generator=g) * scale)
+        for m in net.modules():
+            if isinstance(m, (torch.nn.BatchNorm1d, torch.nn.BatchNorm2d)):
+                m.running_mean.copy_(
+                    torch.randn(m.running_mean.shape, generator=g) * 0.05)
+                m.running_var.copy_(
+                    1.0 + 0.1 * torch.rand(m.running_var.shape, generator=g))
+
+
+# Fixed prior draws: both sides iterate categories/batches/instances in the
+# same order off the same seg pkl and fold K instance-major, so row i of the
+# prior aligns 1:1 across implementations (our batch padding only appends
+# rows past n_real*K).  Nonzero so the K hypotheses are DISTINCT and the
+# energy sort / pooling see real work.
+_PRIOR = np.asarray(np.random.RandomState(9).randn(BS * K, 9), np.float32)
+
+
+def _ported_agent(cfg, mode, tnet):
+    agent = PoseAgent(cfg, mode)
+    variables = port_gf_state_dict(
+        tnet.state_dict(), agent.state.variables, pts_encoder="pointnet2",
+        regression_head="Rx_Ry_and_T")
+    agent.state = agent.state.replace(
+        params=variables["params"],
+        batch_stats=variables.get("batch_stats", agent.state.batch_stats),
+        ema=agent.state.ema.replace(shadow=variables["params"]),
+    )
+    # deterministic: fixed additive prior draw (same rows on the torch side)
+    agent.sde = dataclasses.replace(
+        agent.sde,
+        prior=lambda key, shape, T=None: jnp.asarray(_PRIOR[:shape[0]]))
+    return agent
+
+
+def _near_gt_results(with_energy_path):
+    """Replace every instance's K hypotheses with progressively-noised GT
+    poses (hypothesis k: rotate ~3k degrees about a fixed axis, shift 1.5k
+    cm) and seeded random energies, so the pooling/ratio/ranking machinery
+    in stage 4 produces AP values strictly inside (0, 100)."""
+    with open(with_energy_path, "rb") as f:
+        res = pickle.load(f)
+    rng = np.random.RandomState(77)
+    for entry in res.values():
+        r = entry["result"]
+        n, Kh = r["multi_hypothesis_pred_RTs"].shape[:2]
+        for i in range(min(n, len(r["gt_RTs"]))):
+            gt = np.asarray(r["gt_RTs"][i], float)
+            for k in range(Kh):
+                ang = np.deg2rad(3.0 * k)
+                c, s = np.cos(ang), np.sin(ang)
+                rot_y = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]])
+                rt = gt.copy()
+                rt[:3, :3] = rt[:3, :3] @ rot_y
+                rt[:3, 3] += 0.015 * k * rng.randn(3)
+                r["multi_hypothesis_pred_RTs"][i, k] = rt
+        r["energy"] = rng.rand(*np.shape(r["energy"]))
+    return res
+
+
+@pytest.fixture(scope="module")
+def composed(tmp_path_factory):
+    root = tmp_path_factory.mktemp("composed")
+    cwd = os.getcwd()
+    os.chdir(root)
+    try:
+        nocs = make_synthetic_nocs_dir(
+            str(root / "nocs"), n_camera_scenes=1, n_real_scenes=2, seed=17)
+        res_dir = str(root / "refres")
+        make_synthetic_mrcnn_results(nocs, res_dir, "real_test")
+
+        # ---- shared stage 1: OUR detection feeds BOTH pipelines ----
+        our_cfg = get_config([
+            "--data_path", nocs, "--result_dir", res_dir,
+            "--test_source", "real_test", "--eval_repeat_num", str(K),
+            "--batch_size", str(BS), "--num_points", str(N_PTS),
+            "--T0", str(T0), "--sampler_mode", "ode_adaptive",
+            "--pooling_mode", "average", "--ranker", "energy_ranker",
+        ])
+        seg_root = os.path.join(res_dir, "evaluation_results")
+        seg_path = os.path.join(
+            seg_root, "segmentation_results_real_test.pkl")
+        ours.detect_mrcnn_genpose(our_cfg, seg_path)
+
+        # ---- import the reference runner with a matching module cfg ----
+        rb.install_stubs()
+        tb = sys.modules.setdefault("tensorboardX",
+                                    types.ModuleType("tensorboardX"))
+        tb.SummaryWriter = lambda *a, **k: None
+        if rb.REF_ROOT not in sys.path:
+            sys.path.insert(0, rb.REF_ROOT)
+        torch.cuda.empty_cache = lambda: None
+        torch.Tensor.cuda = lambda self, *a, **k: self
+
+        # the runner builds device tensors via the legacy torch.cuda.*
+        # constructors from BOTH arrays (evaluation_single.py:399) and sizes
+        # (pointnet2 wrappers) — dispatch on the argument
+        def _cuda_factory(dtype):
+            def make(*args):
+                if len(args) == 1 and not isinstance(args[0], int):
+                    return torch.as_tensor(np.asarray(args[0]), dtype=dtype)
+                return torch.empty(*args, dtype=dtype)
+            return make
+
+        torch.cuda.FloatTensor = _cuda_factory(torch.float32)
+        torch.cuda.LongTensor = _cuda_factory(torch.int64)
+        torch.cuda.IntTensor = _cuda_factory(torch.int32)
+
+        argv = sys.argv
+        sys.argv = [
+            "genpose", "--test_source", "real_test", "--result_dir", res_dir,
+            "--batch_size", str(BS), "--eval_repeat_num", str(K),
+            "--num_points", str(N_PTS), "--T0", str(T0),
+            "--sampler_mode", "ode", "--device", "cpu",
+            "--score_model_dir", "ref_score.pth",
+            "--energy_model_dir", "ref_energy.pth",
+            "--pooling_mode", "average", "--ranker", "energy_ranker",
+        ]
+        try:
+            es = importlib.import_module("runners.evaluation_single")
+        finally:
+            sys.argv = argv
+
+        # ---- shared randomized weights, saved as reference checkpoints ----
+        posenet_mod = importlib.import_module("networks.posenet")
+        sde_mod = importlib.import_module("networks.gf_algorithms.sde")
+        prior_fn, marginal_fn, sde_fn, eps, T = sde_mod.init_sde("ve")
+
+        def make_tnet(mode, seed):
+            cfgn = types.SimpleNamespace(
+                device="cpu", pts_encoder="pointnet2", pose_mode="rot_matrix",
+                regression_head="Rx_Ry_and_T", posenet_mode=mode,
+                energy_mode="IP", s_theta_mode="score",
+                norm_energy="identical", num_points=N_PTS,
+                sampling_steps=None, sde_mode="ve", hidden_dim=128,
+                pointnet2_params="light")
+            net = posenet_mod.GFObjectPose(cfgn, prior_fn, marginal_fn,
+                                           sde_fn, eps, T)
+            _randomize(net, seed)
+            net.eval()
+            return net
+
+        tscore, tenergy = make_tnet("score", 41), make_tnet("energy", 43)
+        os.makedirs("results/ckpts", exist_ok=True)
+        torch.save({"model_state_dict": tscore.state_dict()},
+                   "results/ckpts/ref_score.pth")
+        torch.save({"model_state_dict": tenergy.state_dict()},
+                   "results/ckpts/ref_energy.pth")
+
+        # pin the reference's additive prior draw to the same fixed rows
+        real_posenet = es.PoseNet
+
+        def _det_posenet(cfg):
+            agent = real_posenet(cfg)
+            agent.net.prior_fn = lambda shape, T=None: torch.from_numpy(
+                _PRIOR[:shape[0]].copy())
+            return agent
+
+        es.PoseNet = _det_posenet
+
+        # ---- run the reference's composed stages 2-4 ----
+        es.inference_pose(seg_path, es.inference_res_dir, es.cfg.pose_mode,
+                          record_process=False)
+        es.inference_energy(es.inference_res_dir, es.cfg.pose_mode)
+        es.evaluate(es.inference_res_dir, "results_with_energy.pkl")
+        ref_dir = es.inference_res_dir
+
+        # ---- run OUR composed stages 2-4 on the same seg pkl + weights ----
+        our_dir = str(root / "ours_infer")
+        score_agent = _ported_agent(our_cfg, "score", tscore)
+        energy_agent = _ported_agent(our_cfg, "energy", tenergy)
+        ours.inference_pose(our_cfg, score_agent, seg_path, our_dir)
+        ours.inference_energy(our_cfg, energy_agent, our_dir)
+        ours.evaluate(our_cfg, our_dir, "results_with_energy.pkl")
+
+        # ---- second stage-4 pass on NEAR-GT hypotheses (same file both
+        # sides): untrained nets give all-zero pose tables, which would
+        # "match" vacuously — noised-GT hypotheses with seeded energies give
+        # non-degenerate AP/Acc numbers that both evaluates must reproduce
+        near = _near_gt_results(
+            os.path.join(ref_dir, "results_with_energy.pkl"))
+        for d in (ref_dir, our_dir):
+            with open(os.path.join(d, "results_near_gt.pkl"), "wb") as f:
+                pickle.dump(near, f)
+        es.evaluate(ref_dir, "results_near_gt.pkl")
+        ours.evaluate(our_cfg, our_dir, "results_near_gt.pkl")
+
+        yield {"ref_dir": ref_dir, "our_dir": our_dir, "cfg": our_cfg}
+    finally:
+        os.chdir(cwd)
+
+
+def _load_results(path):
+    with open(path, "rb") as f:
+        return pickle.load(f)
+
+
+def test_composed_hypotheses_and_energies_match(composed):
+    """Stage 2+3 composition: the sorted K-hypothesis RTs and energies in
+    ``results_with_energy.pkl`` agree per instance (frame conventions,
+    zero-centering, T0 plumbing, RT conversion, energy sort)."""
+    ref = _load_results(os.path.join(composed["ref_dir"],
+                                     "results_with_energy.pkl"))
+    our = _load_results(os.path.join(composed["our_dir"],
+                                     "results_with_energy.pkl"))
+    assert set(ref.keys()) == set(our.keys()) and len(ref) > 0
+    n_insts = 0
+    for key in ref:
+        r, o = ref[key]["result"], our[key]["result"]
+        assert r["multi_hypothesis_pred_RTs"].shape == \
+            o["multi_hypothesis_pred_RTs"].shape
+        # integration-tolerance-level agreement (solver atol 1e-5 + our
+        # batch padding sharing the adaptive step size across rows)
+        np.testing.assert_allclose(o["multi_hypothesis_pred_RTs"],
+                                   r["multi_hypothesis_pred_RTs"],
+                                   atol=5e-3, rtol=0)
+        np.testing.assert_allclose(o["energy"], r["energy"], atol=5e-3,
+                                   rtol=1e-3)
+        n_insts += r["multi_hypothesis_pred_RTs"].shape[0]
+    assert n_insts >= 4
+
+
+def _table_lines(log_dir, name):
+    path = os.path.join(log_dir, name)
+    with open(path) as f:
+        lines = [ln.strip() for ln in f]
+    keep = ("cls_name:", "mAP:", "Acc:", "degree", "ratio")
+    return [ln for ln in lines if any(k in ln for k in keep)]
+
+
+def test_composed_map_tables_identical(composed):
+    """Stage 4 composition: the final eval_logs tables (mean + per-class,
+    mAP and Acc at the four headline thresholds) are IDENTICAL between the
+    reference's ``evaluate`` and ours."""
+    ref_logs = os.path.join(composed["ref_dir"], "results", "average",
+                            "energy_ranker")
+    our_logs = os.path.join(composed["our_dir"], "results", "average",
+                            "energy_ranker")
+    for name in ("eval_logs.txt", "eval_logs_single_cls.txt"):
+        ref_tbl = _table_lines(ref_logs, name)
+        our_tbl = _table_lines(our_logs, name)
+        assert len(ref_tbl) > 0, name
+        assert ref_tbl == our_tbl, (name, ref_tbl, our_tbl)
+    # non-degeneracy: the near-GT pass (second table appended to the same
+    # logs) must produce at least one strictly positive AP/Acc entry, so the
+    # equality above is not an all-zeros-vs-all-zeros vacuity
+    vals = [float(ln.rsplit(":", 1)[1]) for ln in
+            _table_lines(ref_logs, "eval_logs.txt") if "degree" in ln]
+    assert any(v > 0.0 for v in vals), vals

@@ -317,3 +317,30 @@ def test_distill_closure_rebuilds_per_teacher():
     l2 = student.train_step_distill(t_vp, batch, jax.random.PRNGKey(2))
     assert student._distill_teacher_id == id(t_vp)
     assert np.isfinite(float(l2["gf"]))
+
+
+def test_reward_model_forward_and_grad():
+    """RewardModel (ref ``reward.py:14-60``): plain flax module with the
+    reference architecture — pose 256->256, concat with the 1024-d pts
+    feature, 1280->256->2 — trainable (finite grads)."""
+    from genpose_tpu.training.ranking import RewardModel
+
+    model = RewardModel(pose_mode="rot_matrix")
+    key = jax.random.PRNGKey(0)
+    feat = jax.random.normal(key, (4, 1024))
+    pose = jax.random.normal(jax.random.PRNGKey(1), (4, 9))
+    params = model.init(key, feat, pose)
+    out = model.apply(params, feat, pose)
+    assert out.shape == (4, 2)
+    n_params = sum(int(np.prod(np.shape(x)))
+                   for x in jax.tree_util.tree_leaves(params))
+    # reference param count: (9*256+256)+(256*256+256)+(1280*256+256)+(256*2+2)
+    assert n_params == (9 * 256 + 256) + (256 * 256 + 256) + \
+        (1280 * 256 + 256) + (256 * 2 + 2)
+
+    def loss(p):
+        return jnp.sum(model.apply(p, feat, pose) ** 2)
+
+    grads = jax.grad(loss)(params)
+    assert all(np.isfinite(np.asarray(g)).all()
+               for g in jax.tree_util.tree_leaves(grads))
