@@ -72,6 +72,9 @@ class Config:
     num_points: int = 1024
     per_obj: str = ""
     num_workers: int = 8
+    # loader worker pool kind: 'thread' (GIL-releasing cv2/np) or 'process'
+    # (the reference's 32-process shape, ``datasets_genpose.py:558-566``)
+    loader_mode: str = "thread"
 
     # ---- model ----
     posenet_mode: str = "score"

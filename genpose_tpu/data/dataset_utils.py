@@ -8,6 +8,8 @@ worker threads — they never touch the device.
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 
 try:
@@ -16,8 +18,8 @@ except ImportError:  # pragma: no cover - cv2 is baked into the image
     cv2 = None
 
 
-def get_2d_coord_np(width: int, height: int, fmt: str = "CHW") -> np.ndarray:
-    """Pixel-coordinate map (ref ``datasets_utils.py:4-22``)."""
+@functools.lru_cache(maxsize=8)
+def _coord_map_cached(width: int, height: int, fmt: str) -> np.ndarray:
     x = np.linspace(0, width - 1, width, dtype=np.float32)
     y = np.linspace(0, height - 1, height, dtype=np.float32)
     xy = np.asarray(np.meshgrid(x, y))
@@ -25,7 +27,17 @@ def get_2d_coord_np(width: int, height: int, fmt: str = "CHW") -> np.ndarray:
         xy = xy.transpose(1, 2, 0)
     elif fmt != "CHW":
         raise ValueError(f"Unknown format: {fmt}")
+    xy.setflags(write=False)  # shared across loader workers
     return xy
+
+
+def get_2d_coord_np(width: int, height: int, fmt: str = "CHW") -> np.ndarray:
+    """Pixel-coordinate map (ref ``datasets_utils.py:4-22``).
+
+    Cached per (width, height): it is a constant the dataset was rebuilding
+    for every sample (~5% of per-sample host cost, tools/bench_loader.py).
+    Returned read-only; callers warp/slice it, never write."""
+    return _coord_map_cached(width, height, fmt)
 
 
 def aug_bbox_DZI(dzi_params, bbox_xyxy, im_H, im_W, rng: np.random.Generator):

@@ -13,12 +13,28 @@ Also reproduces the CAMERA:Real = 3:1 epoch resampling
 
 from __future__ import annotations
 
+import multiprocessing
 import queue
 import threading
-from concurrent.futures import ThreadPoolExecutor
+from concurrent.futures import ProcessPoolExecutor, ThreadPoolExecutor
 from typing import Dict, Iterator, List, Optional, Sequence
 
 import numpy as np
+
+# Process-worker plumbing: each worker holds its own dataset copy (installed
+# once by the pool initializer) and fetches by index.  Sample content is
+# bit-identical across thread/process modes because the dataset derives its
+# RNG per (seed, index, visit), not from shared mutable state.
+_worker_dataset = None
+
+
+def _init_worker(dataset) -> None:
+    global _worker_dataset
+    _worker_dataset = dataset
+
+
+def _fetch(index: int):
+    return _worker_dataset[int(index)]
 
 
 def collate(samples: Sequence[Dict]) -> Dict[str, np.ndarray]:
@@ -59,11 +75,23 @@ class DataLoader:
         indices: Optional[np.ndarray] = None,
         prefetch: int = 2,
         seed: int = 0,
+        workers_mode: str = "thread",
     ):
+        """``workers_mode``: 'thread' (default — cv2/np release the GIL for
+        the heavy decode/warp work) or 'process' (the reference's
+        num_workers=32 *process* shape, ``datasets_genpose.py:558-566``, for
+        hosts where the Python-level share of ``__getitem__`` GIL-bounds the
+        thread pool).  Process workers use fork: this image's sitecustomize
+        imports jax (and dials the axon tunnel) in every freshly-spawned
+        interpreter, so spawn-mode children would pay seconds of startup;
+        forked children run only numpy/cv2 and never touch the inherited
+        jax state."""
+        assert workers_mode in ("thread", "process")
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.num_workers = max(1, num_workers)
+        self.workers_mode = workers_mode
         self.drop_last = drop_last
         self.base_indices = (
             np.asarray(indices) if indices is not None
@@ -100,12 +128,20 @@ class DataLoader:
             # the same way).
             err = None
             try:
-                with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+                if self.workers_mode == "process":
+                    pool_cm = ProcessPoolExecutor(
+                        max_workers=self.num_workers,
+                        mp_context=multiprocessing.get_context("fork"),
+                        initializer=_init_worker, initargs=(self.dataset,))
+                    fetch = _fetch
+                else:
+                    pool_cm = ThreadPoolExecutor(max_workers=self.num_workers)
+                    fetch = self.dataset.__getitem__
+                with pool_cm as pool:
                     for batch_idx in batches:
                         if stop.is_set():
                             break
-                        item = collate(
-                            list(pool.map(self.dataset.__getitem__, batch_idx)))
+                        item = collate(list(pool.map(fetch, batch_idx)))
                         # bounded put with a timeout so an abandoned iterator
                         # (consumer stopped reading) can't block this thread
                         # forever on a full queue
@@ -183,6 +219,7 @@ def get_data_loaders_from_cfg(cfg, data_type=("train", "val", "test")):
             ds, batch_size=batch_size, shuffle=(mode == "train"),
             num_workers=cfg.num_workers if mode == "train" else 1,
             drop_last=drop_last, indices=indices, seed=cfg.seed,
+            workers_mode=getattr(cfg, "loader_mode", "thread"),
         )
 
     if "train" in data_type:

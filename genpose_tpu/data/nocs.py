@@ -226,6 +226,17 @@ class NOCSDataset:
     def __len__(self):
         return self.length
 
+    def __getstate__(self):
+        # picklable for process-pool loader workers (spawn contexts pickle
+        # the dataset; the visit lock is per-process state)
+        state = self.__dict__.copy()
+        state["_visit_lock"] = None
+        return state
+
+    def __setstate__(self, state):
+        self.__dict__.update(state)
+        self._visit_lock = threading.Lock()
+
     def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
         with self._visit_lock:
             visit = self._visits[index] = self._visits.get(index, 0) + 1

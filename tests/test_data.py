@@ -220,3 +220,37 @@ def test_dataset_seeded_draws_are_order_independent(nocs_dir):
     # a second visit of the same index draws FRESH augmentations
     a0_again = ds_a[0]
     assert not np.array_equal(a0_again["aug_bb"], a0["aug_bb"])
+
+
+def test_process_loader_matches_thread_loader(tmp_path):
+    """workers_mode='process' (the reference's 32-process DataLoader shape,
+    ``datasets_genpose.py:558-566``) yields bit-identical batches to the
+    thread pool on the first epoch: the dataset derives its RNG per
+    (seed, index, visit), so worker placement cannot change sample content."""
+    from genpose_tpu.config import Config
+    from genpose_tpu.data.loader import DataLoader
+    from genpose_tpu.data.nocs import NOCSDataset
+    from genpose_tpu.data.synthetic import make_synthetic_nocs_dir
+
+    root = make_synthetic_nocs_dir(str(tmp_path / "nocs"), n_camera_scenes=2,
+                                   n_real_scenes=2, seed=31)
+    cfg = Config()
+
+    def batches(mode):
+        ds = NOCSDataset(data_dir=root, source="CAMERA+Real", mode="train",
+                         n_pts=64, img_size=cfg.img_size, dzi_params=cfg.dzi,
+                         deform_2d_params=cfg.deform_2d, seed=7)
+        loader = DataLoader(ds, batch_size=2, shuffle=False, num_workers=2,
+                            workers_mode=mode, seed=3)
+        return list(loader)
+
+    thread_b = batches("thread")
+    process_b = batches("process")
+    assert len(thread_b) == len(process_b) > 0
+    for tb, pb in zip(thread_b, process_b):
+        assert set(tb) == set(pb)
+        for k in tb:
+            if isinstance(tb[k], list):
+                assert tb[k] == pb[k]
+            else:
+                np.testing.assert_array_equal(tb[k], pb[k], err_msg=k)
