@@ -12,6 +12,10 @@ the reference's released eval path (``scripts/eval_single.sh`` sets no
 ``--sampling_steps``, so ``samplers.py:205`` integrates adaptively).  Set
 BENCH_SAMPLER=ode for the fixed-step Heun-``BENCH_STEPS`` variant.
 
+The pipeline runs FROZEN (``InferencePipeline.freeze``): weights baked into
+the XLA program as constants, exactly as a pinned-weight deployment serves —
+measured ~19% faster than passing the states as arguments (BASELINE.md r3).
+
 Baseline: the reference publishes NO throughput numbers (BASELINE.md).  The
 ``vs_baseline`` field is measured against an ESTIMATE of the torch reference
 on its RTX 3090: scipy RK45 with host round-trips every step
@@ -47,7 +51,7 @@ def main():
     bs = int(os.environ.get("BENCH_BATCH", "64"))
     K = int(os.environ.get("BENCH_K", "50"))
     steps = int(os.environ.get("BENCH_STEPS", "500"))
-    iters = int(os.environ.get("BENCH_ITERS", "8"))
+    iters = int(os.environ.get("BENCH_ITERS", "32"))
     sampler = os.environ.get("BENCH_SAMPLER", "ode_adaptive")
 
     # the benchmark measures the REAL serving pipeline (InferencePipeline's
@@ -78,6 +82,11 @@ def main():
 
     score_agent.state = _derandomize(score_agent.state)
     energy_agent.state = _derandomize(energy_agent.state)
+    # Serving deployments pin their weights, so measure the frozen program:
+    # weights baked as XLA constants (BN scale/bias folded into matmuls,
+    # weight layouts pre-packed).  Measured 19.0 -> 15.4 ms/iter on v5e
+    # (3x alternating A/B vs the argument-passing program, BASELINE.md r3).
+    pipe.freeze()
 
     rng = np.random.default_rng(0)
     pts = jnp.asarray(rng.normal(size=(bs, cfg.num_points, 3)).astype(np.float32) * 0.1)
@@ -95,22 +104,19 @@ def main():
     # cannot constant-fold the sampler.  pipe._run inlines under the outer
     # jit; outputs other than pred_pose are dead-code-eliminated.
     @functools.partial(jax.jit, static_argnames=("n",))
-    def chained(score_state, energy_state, pts, key, n):
+    def chained(pts, key, n):
         def it(i, carry):
             p = pts + 1e-12 * jnp.sum(carry)
-            out = pipe._run(score_state, energy_state, p,
-                            jax.random.fold_in(key, i))
+            out = pipe._run_frozen(p, jax.random.fold_in(key, i))
             return out["pred_pose"]
         return jax.lax.fori_loop(0, n, it, jnp.zeros((bs, 7)))
 
     # warmup / compile
-    out = chained(score_agent.state, energy_agent.state, pts,
-                  jax.random.PRNGKey(0), n=iters)
+    out = chained(pts, jax.random.PRNGKey(0), n=iters)
     np.asarray(out)
 
     t0 = time.perf_counter()
-    out = chained(score_agent.state, energy_agent.state, pts,
-                  jax.random.PRNGKey(1), n=iters)
+    out = chained(pts, jax.random.PRNGKey(1), n=iters)
     np.asarray(out)
     dt = time.perf_counter() - t0
 

@@ -93,12 +93,46 @@ class InferencePipeline:
             }
 
         self._run = _run
+        self._run_frozen = None
+
+    def freeze(self):
+        """Bake the CURRENT weights into the compiled program as constants.
+
+        Serving weights are fixed at deployment, so the states can be closed
+        over instead of passed as arguments — XLA then constant-folds the
+        BatchNorm scale/bias into the adjacent matmuls and pre-packs weight
+        layouts at compile time.  Measured on 1x v5e at bs=64/K=50 (adaptive
+        RK45): 19.0 -> 15.4 ms/iter, a stable ~19% speedup (BASELINE.md r3).
+        Outputs are NOT bit-identical to the argument-passing path (XLA may
+        refuse/reorder fusions differently) but are the same computation.
+
+        Re-call after swapping checkpoints; ``predict`` uses the frozen
+        program only while the agents still hold the states it captured.
+        """
+        ss, es = self.score_agent.state, self.energy_agent.state
+        run = self._run
+
+        @jax.jit
+        def _run_frozen(pts, key):
+            return run(ss, es, pts, key)
+
+        self._run_frozen = _run_frozen
+        self._frozen_states = (ss, es)
+        return self
+
+    def _dispatch(self, pts, key):
+        if (self._run_frozen is not None
+                and self._frozen_states[0] is self.score_agent.state
+                and self._frozen_states[1] is self.energy_agent.state):
+            return self._run_frozen(pts, key)
+        return self._run(self.score_agent.state, self.energy_agent.state,
+                         pts, key)
 
     def warmup(self, key=None):
         """Compile with dummy data (first real request then runs hot)."""
         pts = jnp.zeros((self.bs, self.cfg.num_points, 3), jnp.float32)
-        out = self._run(self.score_agent.state, self.energy_agent.state, pts,
-                        key if key is not None else jax.random.PRNGKey(0))
+        out = self._dispatch(pts,
+                             key if key is not None else jax.random.PRNGKey(0))
         jax.block_until_ready(out)
         return self
 
@@ -132,8 +166,7 @@ class InferencePipeline:
 
                 chunk = shard_batch(self.mesh, {"pts": jnp.asarray(chunk)})["pts"]
             key, k = jax.random.split(key)
-            out = self._run(self.score_agent.state, self.energy_agent.state,
-                            jnp.asarray(chunk), k)
+            out = self._dispatch(jnp.asarray(chunk), k)
             # one device_get for the whole tree: a single host transfer
             # instead of one round-trip per output array
             out = jax.device_get(out)

@@ -104,3 +104,36 @@ def test_predict_empty_request():
     assert out["best_pose"].shape == (0, 7)
     assert out["sorted_hypotheses"].shape == (0, 2, 9)
     assert out["energy"].shape == (0, 2, 2)
+
+
+def test_freeze_matches_unfrozen(pipe):
+    """freeze() bakes the weights as XLA constants; predictions must match
+    the argument-passing path (same computation, possibly different fusion
+    order), and stale frozen programs must be bypassed when states change."""
+    rng = np.random.default_rng(11)
+    pts = rng.normal(size=(4, 64, 3)).astype(np.float32) * 0.1
+    key = jax.random.PRNGKey(4)
+    base = pipe.predict(pts, key=key)
+    try:
+        pipe.freeze()
+        frozen = pipe.predict(pts, key=key)
+        for k in base:
+            np.testing.assert_allclose(frozen[k], base[k],
+                                       rtol=2e-4, atol=2e-4)
+
+        # swapping states bypasses the (now stale) frozen program
+        st = pipe.score_agent.state
+        bumped = jax.tree.map(lambda x: x + 0.05, st.params)
+        pipe.score_agent.state = st.replace(
+            params=bumped, ema=st.ema.replace(shadow=bumped))
+        changed = pipe.predict(pts, key=key)
+        assert not np.allclose(changed["pred_pose"], base["pred_pose"])
+        pipe.score_agent.state = st
+        # re-freeze captures the restored weights again
+        pipe.freeze()
+        refrozen = pipe.predict(pts, key=key)
+        for k in base:
+            np.testing.assert_allclose(refrozen[k], base[k],
+                                       rtol=2e-4, atol=2e-4)
+    finally:
+        pipe._run_frozen = None
