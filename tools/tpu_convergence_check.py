@@ -32,7 +32,8 @@ rng = np.random.default_rng(0)
 clouds = jnp.asarray(rng.normal(size=(4, 1024, 3)).astype(np.float32) * 0.1)
 
 cfg = Config(num_points=1024, repeat_num=20, batch_size=BS, lr=1e-3,
-             warmup=100)
+             warmup=100,
+             compute_dtype=os.environ.get("TRAIN_DTYPE", "float32"))
 agent = PoseAgent(cfg, "score", steps_per_epoch=100)
 
 
