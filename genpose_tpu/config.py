@@ -116,6 +116,11 @@ class Config:
     # ---- precision / performance (TPU-specific) ----
     # Compute dtype for the encoder/score-net matmuls; params stay f32.
     compute_dtype: str = "float32"  # or "bfloat16"
+    # Head compute dtype: "compute" follows compute_dtype (serving default);
+    # "float32" keeps the pose/time heads f32.  NOTE: bf16 training stalls
+    # rotation learning at full model size even with f32 heads — train in
+    # f32 (see models/posenet.py::GFObjectPose.head_dtype, BASELINE.md r3).
+    head_dtype: str = "compute"
 
     # ---- testing ----
     eval: bool = False

@@ -47,8 +47,18 @@ class GFObjectPose(nn.Module):
     decoder_head: bool = False
     bn_axis_name: str | None = None
     dtype: jnp.dtype = jnp.float32
+    # Compute dtype for the pose/time heads; None = follow ``dtype``.
+    # Added while investigating bf16 mixed-precision TRAINING: all-bf16
+    # training stalls rotation learning at full model size (on-chip check:
+    # DSM plateaus at ~3.0, rot 124°->126° after 3k steps, vs 1.4 / 33° in
+    # f32), and f32 heads alone do NOT rescue it — f32 remains the
+    # supported training precision (BASELINE.md r3).  Serving keeps bf16
+    # heads (the sampler stage is entirely head evaluations; accuracy is
+    # pinned by tests/test_bf16.py).
+    head_dtype: jnp.dtype | None = None
 
     def setup(self):
+        hdt = self.dtype if self.head_dtype is None else self.head_dtype
         if self.pts_encoder == "pointnet":
             self.encoder = PointNetfeat(in_dim=3, out_dim=1024, dtype=self.dtype)
         elif self.pts_encoder == "pointnet2":
@@ -70,14 +80,14 @@ class GFObjectPose(nn.Module):
                     marginal_prob_fn=self.marginal_prob_fn,
                     pose_mode=self.pose_mode,
                     regression_head=self.regression_head,
-                    dtype=self.dtype,
+                    dtype=hdt,
                 )
             else:
                 self.head = PoseScoreNet(
                     marginal_prob_fn=self.marginal_prob_fn,
                     pose_mode=self.pose_mode,
                     regression_head=self.regression_head,
-                    dtype=self.dtype,
+                    dtype=hdt,
                 )
         elif self.posenet_mode == "energy":
             self.head = PoseEnergyNet(
@@ -87,7 +97,7 @@ class GFObjectPose(nn.Module):
                 energy_mode=self.energy_mode,
                 s_theta_mode=self.s_theta_mode,
                 norm_energy=self.norm_energy,
-                dtype=self.dtype,
+                dtype=hdt,
             )
         else:
             raise NotImplementedError(self.posenet_mode)

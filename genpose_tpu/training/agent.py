@@ -72,6 +72,7 @@ class PoseAgent:
         self.is_edm = cfg.sde_mode == "edm"
 
         dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+        head_dtype = jnp.float32 if cfg.head_dtype == "float32" else None
         self.model = GFObjectPose(
             marginal_prob_fn=self.sde.marginal_prob,
             pose_mode=cfg.pose_mode,
@@ -85,6 +86,7 @@ class PoseAgent:
             norm_energy=cfg.norm_energy,
             decoder_head=self.is_edm and self.mode == "score",
             dtype=dtype,
+            head_dtype=head_dtype,
         )
 
         key = jax.random.PRNGKey(cfg.seed if seed is None else seed)

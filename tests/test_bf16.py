@@ -107,3 +107,50 @@ def test_bf16_train_step_finite_and_tracks_f32():
     assert abs(l16 - l32) / max(abs(l32), 1e-9) < 0.05, (l32, l16)
     assert all(l.dtype == jnp.float32
                for l in jax.tree_util.tree_leaves(a16.state.params))
+
+
+def test_head_dtype_float32_hybrid_mode():
+    """cfg.head_dtype='float32' (bf16 encoder, f32 heads): same param
+    template as full-bf16, head outputs computed in f32 (bit-identical to
+    an f32 head on the same feature), and a finite train step.  NOTE: this
+    knob does NOT make bf16 training converge at full model size
+    (BASELINE.md r3) — it pins the mechanics, not a supported mode."""
+    cfg_hy = Config(num_points=64, repeat_num=4, batch_size=8,
+                    compute_dtype="bfloat16", head_dtype="float32")
+    cfg16 = cfg_hy.replace(head_dtype="compute")
+    a_hy = PoseAgent(cfg_hy, "score", steps_per_epoch=10)
+    a16 = PoseAgent(cfg16, "score", steps_per_epoch=10)
+    # identical template: head_dtype changes compute, never params
+    t_hy = jax.tree_util.tree_structure(a_hy.state.params)
+    t_16 = jax.tree_util.tree_structure(a16.state.params)
+    assert t_hy == t_16
+
+    params = _perturb(a_hy.state.params, 13)
+    copy = lambda t: jax.tree_util.tree_map(jnp.copy, t)
+    for a in (a_hy, a16):
+        a.state = a.state.replace(params=copy(params),
+                                  ema=a.state.ema.replace(shadow=copy(params)))
+
+    # head computes in f32: feeding the SAME feature must reproduce the
+    # f32-head score exactly, where the bf16 head only tracks approximately
+    feat = jax.random.normal(jax.random.PRNGKey(5), (8, 1024))
+    pose = jax.random.normal(jax.random.PRNGKey(6), (8, 9))
+    t = jnp.full((8, 1), 0.5)
+    s_hy = a_hy.model.apply(
+        {"params": params, "batch_stats": a_hy.state.batch_stats},
+        feat, pose, t, method="score")
+    a32 = PoseAgent(Config(num_points=64, repeat_num=4, batch_size=8), "score",
+                    steps_per_epoch=10)
+    s_32 = a32.model.apply(
+        {"params": params, "batch_stats": a32.state.batch_stats},
+        feat, pose, t, method="score")
+    np.testing.assert_array_equal(np.asarray(s_hy), np.asarray(s_32))
+
+    key = jax.random.PRNGKey(2)
+    batch = {
+        "zero_mean_pts": jax.random.normal(key, (8, 64, 3)) * 0.1,
+        "zero_mean_gt_pose": jax.random.normal(key, (8, 9)),
+        "pts_center": jnp.zeros((8, 3)),
+    }
+    l_hy = float(a_hy.train_step(batch, jax.random.PRNGKey(3))["gf"])
+    assert np.isfinite(l_hy)

@@ -68,7 +68,8 @@ def main():
     dtype = os.environ.get("TRAIN_DTYPE", "float32")
 
     cfg = Config(num_points=npts, batch_size=bs, repeat_num=repeat,
-                 compute_dtype=dtype)
+                 compute_dtype=dtype,
+                 head_dtype=os.environ.get("HEAD_DTYPE", "compute"))
     agent = PoseAgent(cfg, "score")
 
     # perturb so XLA cannot constant-fold the zero-init heads
