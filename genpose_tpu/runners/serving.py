@@ -154,7 +154,12 @@ class InferencePipeline:
             }
         key = key if key is not None else jax.random.PRNGKey(0)
 
-        outs = []
+        # Dispatch every chunk before fetching any result: jax dispatch is
+        # async, so the device pipelines chunk i+1's H2D copy and compute
+        # behind chunk i's, and the blocking device_get transfers drain an
+        # already-full queue instead of serializing (copy -> compute ->
+        # fetch) per chunk.
+        pending = []
         for lo in range(0, n, self.bs):
             chunk = pts[lo:lo + self.bs]
             pad = self.bs - chunk.shape[0]
@@ -166,9 +171,12 @@ class InferencePipeline:
 
                 chunk = shard_batch(self.mesh, {"pts": jnp.asarray(chunk)})["pts"]
             key, k = jax.random.split(key)
-            out = self._dispatch(jnp.asarray(chunk), k)
-            # one device_get for the whole tree: a single host transfer
-            # instead of one round-trip per output array
+            pending.append((self._dispatch(jnp.asarray(chunk), k), pad))
+
+        outs = []
+        for out, pad in pending:
+            # one device_get per chunk tree: a single host transfer instead
+            # of one round-trip per output array
             out = jax.device_get(out)
             outs.append({kk: v[:self.bs - pad or None]
                          for kk, v in out.items()})
