@@ -155,8 +155,14 @@ def main_tracking(cfg: Config, tracking: bool = True, T0: float = 0.15):
     keep = max(1, int(0.6 * K))
     sampler = cfg.sampler_mode[0] if cfg.sampler_mode else "ode"
 
+    # The states are pinned for the whole tracking run, so close them over
+    # as compile-time constants (same trick as InferencePipeline.freeze():
+    # BN folds into matmuls, weight layouts pre-pack — measured ~19% on the
+    # serving pipeline, BASELINE.md r3).
+    s_state, e_state = score_agent.state, energy_agent.state
+
     @jax.jit
-    def frame_pipeline(s_state, e_state, batch, init_pose, k):
+    def frame_pipeline(batch, init_pose, k):
         """The whole per-frame device chain in ONE dispatch: shared-geometry
         K-hypothesis sampling (init_x + T0 prior) -> energies -> decoupled
         sort -> top-60% quaternion-average pool.  An eager chain here costs
@@ -228,8 +234,7 @@ def main_tracking(cfg: Config, tracking: bool = True, T0: float = 0.15):
         # materialized host-side: np.asarray on it would force a synchronous
         # tunnel transfer every frame for a value nothing downstream reads
         # (advisor finding, round 2).
-        sorted_dev, avg_R, avg_t = frame_pipeline(
-            score_agent.state, energy_agent.state, batch, init_pose, k_s)
+        sorted_dev, avg_R, avg_t = frame_pipeline(batch, init_pose, k_s)
 
         avg_sRT = np.tile(np.identity(4), (N, 1, 1))
         avg_sRT[:, :3, :3] = np.asarray(avg_R)[:N]
