@@ -442,12 +442,16 @@ def main(argv=None):
     score_agent = PoseAgent(cfg, "score", mesh=mesh)
     if cfg.score_model_dir:
         _load(score_agent, cfg.score_model_dir)
+    # weights are pinned for the whole eval: bake them into the compiled
+    # programs as constants (~19% on the serving pipeline, BASELINE.md r3)
+    score_agent.freeze()
     inference_pose(cfg, score_agent, seg_path, inference_res_dir, mesh=mesh)
 
     print("Predict energy ...")
     energy_agent = PoseAgent(cfg, "energy", mesh=mesh)
     if cfg.energy_model_dir:
         _load(energy_agent, cfg.energy_model_dir)
+    energy_agent.freeze()
     inference_energy(cfg, energy_agent, inference_res_dir, mesh=mesh)
 
     print("Evaluating ...")

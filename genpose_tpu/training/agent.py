@@ -126,6 +126,33 @@ class PoseAgent:
         self._likelihood = jax.jit(
             self._likelihood_impl, static_argnames=("num_steps",)
         )
+        # optional frozen (weights-as-constants) inference programs; see freeze()
+        self._frozen_state = None
+        self._sample_frozen = None
+        self._get_energy_frozen = None
+
+    def freeze(self):
+        """Bake the CURRENT state into the sampling/energy programs as
+        XLA constants (eval/serving-time, weights pinned): BatchNorm folds
+        into the matmuls and weight layouts pre-pack — measured ~19% on the
+        full serving pipeline (BASELINE.md r3; same trick as
+        ``InferencePipeline.freeze``).  ``sample``/``get_energy`` use the
+        frozen programs only while ``self.state`` is still the captured
+        object; re-call after loading a different checkpoint."""
+        import functools as _ft
+
+        state = self.state
+        self._frozen_state = state
+        self._sample_frozen = jax.jit(
+            _ft.partial(self._sample_impl, state),
+            static_argnames=("repeat_num", "sampler", "num_steps", "use_ema",
+                             "return_process"),
+        )
+        self._get_energy_frozen = jax.jit(
+            _ft.partial(self._get_energy_impl, state),
+            static_argnames=("use_ema",),
+        )
+        return self
 
     # ------------------------------------------------------------------
     # internals
@@ -487,6 +514,12 @@ class PoseAgent:
         if sampler == "edm" and num_steps is None:
             num_steps = 18  # ref cond_edm_sampler default (samplers.py:232)
         num_steps = num_steps or self.cfg.sampling_steps
+        if self._frozen_state is not None and self._frozen_state is self.state:
+            return self._sample_frozen(
+                batch, key, repeat_num=repeat_num, sampler=sampler,
+                num_steps=num_steps, T0=T0, init_x=init_x, use_ema=use_ema,
+                return_process=return_process,
+            )
         return self._sample(
             self.state, batch, key, repeat_num=repeat_num, sampler=sampler,
             num_steps=num_steps, T0=T0, init_x=init_x, use_ema=use_ema,
@@ -520,6 +553,9 @@ class PoseAgent:
             assert key is not None
             t_int = jax.random.randint(key, (bs, 1), 1, 10).astype(jnp.float32)
             t_input = jnp.repeat(t_int / 1e5, K, axis=1)
+        if self._frozen_state is not None and self._frozen_state is self.state:
+            return self._get_energy_frozen(batch, pose_samples, t_input,
+                                           use_ema=use_ema)
         return self._get_energy(self.state, batch, pose_samples, t_input,
                                 use_ema=use_ema)
 

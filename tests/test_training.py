@@ -344,3 +344,49 @@ def test_reward_model_forward_and_grad():
     grads = jax.grad(loss)(params)
     assert all(np.isfinite(np.asarray(g)).all()
                for g in jax.tree_util.tree_leaves(grads))
+
+
+def test_agent_freeze_matches_unfrozen():
+    """PoseAgent.freeze(): sample/get_energy through the weights-as-constants
+    programs must match the argument-passing programs, and a state swap must
+    bypass the stale frozen programs."""
+    import numpy as np
+
+    from genpose_tpu.training.agent import PoseAgent
+
+    cfg = Config(num_points=64, batch_size=4, eval_repeat_num=3,
+                 sampling_steps=4, T0=0.55)
+    agent = PoseAgent(cfg, "score", steps_per_epoch=10)
+    leaves, treedef = jax.tree_util.tree_flatten(agent.state.params)
+    keys = jax.random.split(jax.random.PRNGKey(21), len(leaves))
+    params = jax.tree_util.tree_unflatten(
+        treedef, [l + 0.02 * jax.random.normal(k, l.shape)
+                  for l, k in zip(leaves, keys)])
+    agent.state = agent.state.replace(
+        params=params, ema=agent.state.ema.replace(shadow=params))
+
+    batch = {
+        "zero_mean_pts": jax.random.normal(jax.random.PRNGKey(1),
+                                           (4, 64, 3)) * 0.1,
+        "pts_center": jnp.zeros((4, 3)),
+    }
+    base = np.asarray(agent.sample(batch, jax.random.PRNGKey(2),
+                                   repeat_num=3, sampler="ode", num_steps=4))
+    agent.freeze()
+    frozen = np.asarray(agent.sample(batch, jax.random.PRNGKey(2),
+                                     repeat_num=3, sampler="ode", num_steps=4))
+    np.testing.assert_allclose(frozen, base, rtol=2e-4, atol=2e-4)
+
+    e_agent = PoseAgent(cfg, "energy", steps_per_epoch=10).freeze()
+    en_frozen = np.asarray(e_agent.get_energy(batch, jnp.asarray(base), T=1e-5))
+    e_agent2 = PoseAgent(cfg, "energy", steps_per_epoch=10)
+    en_base = np.asarray(e_agent2.get_energy(batch, jnp.asarray(base), T=1e-5))
+    np.testing.assert_allclose(en_frozen, en_base, rtol=2e-4, atol=2e-4)
+
+    # a state swap makes the frozen program stale -> argument path used
+    bumped = jax.tree_util.tree_map(lambda x: x + 0.05, params)
+    agent.state = agent.state.replace(
+        params=bumped, ema=agent.state.ema.replace(shadow=bumped))
+    changed = np.asarray(agent.sample(batch, jax.random.PRNGKey(2),
+                                      repeat_num=3, sampler="ode", num_steps=4))
+    assert not np.allclose(changed, base)
