@@ -443,18 +443,41 @@ def edm_sampler(
     S_noise: float = 1.0,
     pts_center: Optional[jnp.ndarray] = None,
     return_process: bool = False,
+    T0: Optional[float] = None,
+    init_x: Optional[jnp.ndarray] = None,
 ):
-    """EDM Heun sampler (ref ``cond_edm_sampler``, samplers.py:230-290)."""
+    """EDM Heun sampler (ref ``cond_edm_sampler``, samplers.py:230-290).
+
+    ``T0``/``init_x`` pathway — DEVIATION (extension) vs the reference: its
+    ``cond_edm_sampler`` has no truncated-start support (samplers.py:230),
+    which leaves EDM agents undrivable by the tracking/eval runners that
+    always pass T0.  Here ``T0`` in (0, 1] picks the start noise level
+    geometrically, ``sigma_start = sigma_min^(1-T0) * sigma_max^T0`` — the
+    same interpolation as the VE marginal ``sigma(t)`` the reference tuned
+    its T0 values (0.55 eval / 0.15 tracking) against — and the Karras
+    rho-ladder is rebuilt from ``sigma_start`` down.  ``init_x`` receives
+    prior noise at ``sigma_start`` ADDED, exactly as in ``ode_sampler``.
+    """
     pose_dim = get_pose_dim(pose_mode)
     if pts_center is None:
         pts_center = jnp.zeros((batch_size, 3))
+    sigma_start = sigma_max
+    if T0 is not None:
+        if isinstance(T0, (int, float)):  # concrete: exact sigma_max at T0>=1
+            if T0 < 1.0:
+                sigma_start = sigma_min ** (1.0 - T0) * sigma_max ** T0
+        else:  # traced (the agent jits T0 as an argument)
+            t0 = jnp.clip(T0, 0.0, 1.0)
+            sigma_start = jnp.where(
+                t0 >= 1.0, sigma_max,
+                sigma_min ** (1.0 - t0) * sigma_max ** t0)
     k_prior, k_scan = jax.random.split(key)
     latents = jax.random.normal(k_prior, (batch_size, pose_dim))
 
     i = jnp.arange(num_steps, dtype=jnp.float32)
     t_steps = (
-        sigma_max ** (1 / rho)
-        + i / (num_steps - 1) * (sigma_min ** (1 / rho) - sigma_max ** (1 / rho))
+        sigma_start ** (1 / rho)
+        + i / (num_steps - 1) * (sigma_min ** (1 / rho) - sigma_start ** (1 / rho))
     ) ** rho
     t_steps = jnp.concatenate([t_steps, jnp.zeros((1,))])  # t_N = 0
 
@@ -486,7 +509,8 @@ def edm_sampler(
 
     keys = jax.random.split(k_scan, num_steps)
     is_not_last = jnp.arange(num_steps) < num_steps - 1
-    x0 = latents * t_steps[0]
+    prior = latents * t_steps[0]
+    x0 = prior if init_x is None else init_x + prior
     x, traj = jax.lax.scan(step, x0, ((t_steps[:-1], t_steps[1:], is_not_last), keys))
 
     rot = normalize_rotation(x[:, :-3], pose_mode)

@@ -485,18 +485,21 @@ class PoseAgent:
             )
         elif sampler == "edm":
             # Heun EDM sampler over the denoiser (ref ``cond_edm_sampler``,
-            # ``samplers.py:230-290`` — which, like here, has no init_x/T0
-            # pathway).  Requires the EDM sigma ladder.
+            # ``samplers.py:230-290``).  The reference's version has no
+            # init_x/T0 pathway, which would make EDM agents undrivable by
+            # the runners (they always pass T0, default cfg.T0=1.0); ours
+            # maps T0 onto the sigma ladder geometrically and adds prior
+            # noise at sigma_start to init_x — see ``edm_sampler``'s
+            # docstring for the documented deviation.  T0>=1.0 (the config
+            # default) means a full-length prior start.
             assert self.is_edm, "sampler='edm' requires sde_mode='edm'"
-            assert init_x is None and T0 is None, \
-                "the EDM sampler has no init_x/T0 pathway (ref samplers.py:230)"
             denoise_fn = self._head_denoise_fn(params, state.batch_stats, feat,
                                                repeat=repeat_num)
             process, res = edm_sampler(
                 denoise_fn, key, bs * repeat_num, self.cfg.pose_mode,
                 num_steps=num_steps, sigma_min=self.sde.eps,
                 sigma_max=self.sde.T, pts_center=center_rep,
-                return_process=return_process,
+                return_process=return_process, T0=T0, init_x=init_rep,
             )
         else:
             raise NotImplementedError(sampler)

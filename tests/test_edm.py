@@ -172,11 +172,67 @@ def test_edm_energy_agent_trains(task):
     assert np.isfinite(float(losses["ranking"]))
 
 
-def test_edm_sampler_rejects_init_x(task):
-    cfg = Config(num_points=N_PTS, repeat_num=2, batch_size=4,
+def test_edm_sampler_T0_is_full_length_at_one():
+    """T0=1.0 (the config default every runner passes) must be EXACTLY the
+    full-length prior start — the wiring regression this guards: runners
+    always pass T0, so a sampler that rejects it is unreachable from
+    serving/eval/tracking."""
+    y = jax.random.normal(jax.random.PRNGKey(3), (8, 9))
+    denoise_fn = lambda x, t: jnp.broadcast_to(y, x.shape)
+    _, full = edm_sampler(denoise_fn, jax.random.PRNGKey(4), batch_size=8,
+                          pose_mode="rot_matrix", num_steps=8)
+    _, full_t0 = edm_sampler(denoise_fn, jax.random.PRNGKey(4), batch_size=8,
+                             pose_mode="rot_matrix", num_steps=8, T0=1.0)
+    np.testing.assert_array_equal(np.asarray(full), np.asarray(full_t0))
+
+
+def test_edm_sampler_truncated_start_stays_near_init():
+    """Tracking-style truncated start (documented extension vs the
+    reference's cond_edm_sampler, which has no init_x/T0 pathway): with the
+    IDENTITY denoiser the EDM ODE is stationary (d = (x - D)/t = 0), so the
+    sampler returns exactly its start state — init_x plus prior noise at
+    sigma_start = sigma_min^(1-T0) * sigma_max^T0 (~0.01 at T0=0.15),
+    while the full-length start sits at the sigma_max=80-scaled prior."""
+    identity = lambda x, t: x
+    init = jax.random.normal(jax.random.PRNGKey(5), (8, 9)) * 0.1
+    _, near = edm_sampler(identity, jax.random.PRNGKey(6), batch_size=8,
+                          pose_mode="rot_matrix", num_steps=8, T0=0.15,
+                          init_x=init)
+    np.testing.assert_allclose(np.asarray(near[:, -3:]),
+                               np.asarray(init[:, -3:]), atol=0.05)
+    _, far = edm_sampler(identity, jax.random.PRNGKey(6), batch_size=8,
+                         pose_mode="rot_matrix", num_steps=8)
+    assert float(jnp.abs(far[:, -3:]).mean()) > 10.0
+
+
+def test_edm_agent_sample_accepts_T0_and_init_x(task):
+    """The agent-level pathway the runners drive: default T0=1.0 and the
+    tracking prior (init_x + T0=0.15) both sample through 'edm'."""
+    cfg = Config(num_points=N_PTS, repeat_num=2, batch_size=BS,
                  pts_encoder="pointnet", sde_mode="edm")
     agent = PoseAgent(cfg, "score", steps_per_epoch=10)
     batch, _ = _make_batch(task, jax.random.PRNGKey(0))
-    with pytest.raises(AssertionError):
-        agent.sample(batch, jax.random.PRNGKey(1), repeat_num=1,
-                     sampler="edm", init_x=jnp.zeros((BS, 9)))
+    out = agent.sample(batch, jax.random.PRNGKey(1), repeat_num=2,
+                       sampler="edm", T0=1.0)
+    assert out.shape == (BS, 2, 9) and np.isfinite(np.asarray(out)).all()
+    out = agent.sample(batch, jax.random.PRNGKey(1), repeat_num=2,
+                       sampler="edm", T0=0.15, init_x=jnp.zeros((BS, 9)))
+    assert out.shape == (BS, 2, 9) and np.isfinite(np.asarray(out)).all()
+
+
+def test_edm_serving_pipeline_end_to_end():
+    """InferencePipeline drives an EDM agent (regression: serving passes
+    T0=cfg.T0 unconditionally, which used to trip the 'no init_x/T0
+    pathway' assert at trace time for sde_mode='edm')."""
+    from genpose_tpu.runners.serving import InferencePipeline
+
+    cfg = Config(num_points=N_PTS, batch_size=2, eval_repeat_num=2,
+                 sampling_steps=8, pts_encoder="pointnet", sde_mode="edm",
+                 sampler_mode=("edm",))
+    pipe = InferencePipeline(cfg)
+    rng = np.random.default_rng(7)
+    pts = rng.normal(size=(2, N_PTS, 3)).astype(np.float32) * 0.1
+    out = pipe.predict(pts, key=jax.random.PRNGKey(8))
+    assert out["pred_pose"].shape == (2, 7)
+    for v in out.values():
+        assert np.isfinite(v).all()
