@@ -22,9 +22,11 @@ from typing import Dict, Iterator, List, Optional, Sequence
 import numpy as np
 
 # Process-worker plumbing: each worker holds its own dataset copy (installed
-# once by the pool initializer) and fetches by index.  Sample content is
-# bit-identical across thread/process modes because the dataset derives its
-# RNG per (seed, index, visit), not from shared mutable state.
+# once by the pool initializer) and fetches by (index, visit).  Sample
+# content is bit-identical across thread/process modes BY CONSTRUCTION: the
+# parent assigns the visit (augmentation-draw) number per dispatch and the
+# dataset derives its RNG from (seed, index, visit) — worker-local counters
+# would reset on every fork and repeat the augmentation stream each epoch.
 _worker_dataset = None
 
 
@@ -33,7 +35,9 @@ def _init_worker(dataset) -> None:
     _worker_dataset = dataset
 
 
-def _fetch(index: int):
+def _fetch(index: int, visit: int):
+    if hasattr(_worker_dataset, "fetch"):
+        return _worker_dataset.fetch(int(index), int(visit))
     return _worker_dataset[int(index)]
 
 
@@ -85,7 +89,13 @@ class DataLoader:
         imports jax (and dials the axon tunnel) in every freshly-spawned
         interpreter, so spawn-mode children would pay seconds of startup;
         forked children run only numpy/cv2 and never touch the inherited
-        jax state."""
+        jax state.  The pool is created ONCE, lazily, from the consumer
+        thread at the first ``__iter__`` and reused across epochs — forking
+        per epoch from the producer thread would both repeat the pool
+        startup cost every epoch and raise the inherited-lock risk of
+        fork()ing a multithreaded parent mid-training (jax dispatch/tunnel
+        threads may hold malloc/gRPC mutexes at fork time); call ``close()``
+        (or drop the loader) when done."""
         assert workers_mode in ("thread", "process")
         self.dataset = dataset
         self.batch_size = batch_size
@@ -99,6 +109,30 @@ class DataLoader:
         )
         self.prefetch = prefetch
         self.rng = np.random.default_rng(seed)
+        # per-index visit counters, assigned in the PARENT at dispatch time
+        # (persist across epochs) — see the module-level _fetch note
+        self._visits: Dict[int, int] = {}
+        self._pool: Optional[ProcessPoolExecutor] = None
+
+    def _ensure_pool(self) -> ProcessPoolExecutor:
+        if self._pool is None:
+            self._pool = ProcessPoolExecutor(
+                max_workers=self.num_workers,
+                mp_context=multiprocessing.get_context("fork"),
+                initializer=_init_worker, initargs=(self.dataset,))
+        return self._pool
+
+    def close(self) -> None:
+        """Shut down the persistent process pool (no-op in thread mode)."""
+        if self._pool is not None:
+            self._pool.shutdown(wait=False, cancel_futures=True)
+            self._pool = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:  # noqa: BLE001 - interpreter teardown
+            pass
 
     def __len__(self):
         n = len(self.base_indices)
@@ -114,11 +148,33 @@ class DataLoader:
         return [idx[i * self.batch_size:(i + 1) * self.batch_size]
                 for i in range(nb)]
 
+    def _assign_visits(self, batches: List[np.ndarray]) -> List[np.ndarray]:
+        """Visit numbers per dispatched index, assigned in the parent in
+        dispatch order: counters persist across epochs and across duplicate
+        indices within an epoch (the CAMERA:Real resampling repeats Real
+        indices), so every fetch draws a FRESH augmentation stream in both
+        worker modes."""
+        out = []
+        for batch_idx in batches:
+            v = np.empty(len(batch_idx), np.int64)
+            for j, ix in enumerate(batch_idx):
+                n = self._visits.get(int(ix), 0) + 1
+                self._visits[int(ix)] = n
+                v[j] = n
+            out.append(v)
+        return out
+
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         batches = self._batches()
+        visits = self._assign_visits(batches)
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         sentinel = object()
         stop = threading.Event()
+        # the persistent fork pool is created here — consumer thread, not the
+        # producer — and reused across epochs (see __init__ docstring)
+        proc_pool = (self._ensure_pool()
+                     if self.workers_mode == "process" else None)
+        ds_fetch = getattr(self.dataset, "fetch", None)
 
         def producer():
             # The sentinel (or the worker exception, which the consumer
@@ -128,20 +184,20 @@ class DataLoader:
             # the same way).
             err = None
             try:
-                if self.workers_mode == "process":
-                    pool_cm = ProcessPoolExecutor(
-                        max_workers=self.num_workers,
-                        mp_context=multiprocessing.get_context("fork"),
-                        initializer=_init_worker, initargs=(self.dataset,))
+                if proc_pool is not None:
+                    pool_cm, pool = None, proc_pool
                     fetch = _fetch
                 else:
                     pool_cm = ThreadPoolExecutor(max_workers=self.num_workers)
-                    fetch = self.dataset.__getitem__
-                with pool_cm as pool:
-                    for batch_idx in batches:
+                    pool = pool_cm
+                    fetch = ds_fetch or (
+                        lambda index, visit: self.dataset[int(index)])
+                try:
+                    for batch_idx, batch_visits in zip(batches, visits):
                         if stop.is_set():
                             break
-                        item = collate(list(pool.map(fetch, batch_idx)))
+                        item = collate(
+                            list(pool.map(fetch, batch_idx, batch_visits)))
                         # bounded put with a timeout so an abandoned iterator
                         # (consumer stopped reading) can't block this thread
                         # forever on a full queue
@@ -151,8 +207,16 @@ class DataLoader:
                                 break
                             except queue.Full:
                                 continue
+                finally:
+                    if pool_cm is not None:  # thread pool is per-epoch
+                        pool_cm.shutdown(wait=True)
             except BaseException as e:  # noqa: BLE001 - forwarded to consumer
                 err = e
+                if proc_pool is not None:
+                    # a worker error may leave the persistent pool broken
+                    # (BrokenProcessPool); drop it so the next epoch forks a
+                    # fresh one instead of reusing a dead pool
+                    self.close()
             while True:
                 try:
                     q.put(err if err is not None else sentinel, timeout=0.5)

@@ -240,6 +240,18 @@ class NOCSDataset:
     def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
         with self._visit_lock:
             visit = self._visits[index] = self._visits.get(index, 0) + 1
+        return self.fetch(index, visit)
+
+    def fetch(self, index: int, visit: int) -> Dict[str, np.ndarray]:
+        """Fetch with an EXPLICIT visit number (the augmentation-draw index).
+
+        The sample RNG derives from ``(seed, index, visit)`` so repeated
+        visits to the same image draw fresh augmentations deterministically.
+        ``DataLoader`` assigns visit numbers in the parent process and passes
+        them here — process-pool workers each hold a stale dataset copy, so
+        a worker-local counter (as ``__getitem__`` keeps for direct use)
+        would reset every fork and repeat the augmentation stream each epoch.
+        """
         rng = np.random.default_rng((self.seed, index, visit))
         for _ in range(len(self)):
             item = self._load_one(index, rng)

@@ -225,8 +225,10 @@ def test_dataset_seeded_draws_are_order_independent(nocs_dir):
 def test_process_loader_matches_thread_loader(tmp_path):
     """workers_mode='process' (the reference's 32-process DataLoader shape,
     ``datasets_genpose.py:558-566``) yields bit-identical batches to the
-    thread pool on the first epoch: the dataset derives its RNG per
-    (seed, index, visit), so worker placement cannot change sample content."""
+    thread pool ACROSS EPOCHS and for duplicate indices: the PARENT assigns
+    the visit (augmentation-draw) number per dispatch, so stale worker-side
+    counters (reset on fork) cannot repeat the augmentation stream each
+    epoch or give duplicated indices identical samples (review regression)."""
     from genpose_tpu.config import Config
     from genpose_tpu.data.loader import DataLoader
     from genpose_tpu.data.nocs import NOCSDataset
@@ -235,22 +237,32 @@ def test_process_loader_matches_thread_loader(tmp_path):
     root = make_synthetic_nocs_dir(str(tmp_path / "nocs"), n_camera_scenes=2,
                                    n_real_scenes=2, seed=31)
     cfg = Config()
+    # index 0 appears twice, like the CAMERA:Real resampling repeats Real rows
+    indices = np.array([0, 1, 0, 2])
 
-    def batches(mode):
+    def epochs(mode, n_epochs=2):
         ds = NOCSDataset(data_dir=root, source="CAMERA+Real", mode="train",
                          n_pts=64, img_size=cfg.img_size, dzi_params=cfg.dzi,
                          deform_2d_params=cfg.deform_2d, seed=7)
         loader = DataLoader(ds, batch_size=2, shuffle=False, num_workers=2,
-                            workers_mode=mode, seed=3)
-        return list(loader)
+                            workers_mode=mode, seed=3, indices=indices)
+        out = [list(loader) for _ in range(n_epochs)]
+        loader.close()
+        return out
 
-    thread_b = batches("thread")
-    process_b = batches("process")
-    assert len(thread_b) == len(process_b) > 0
-    for tb, pb in zip(thread_b, process_b):
-        assert set(tb) == set(pb)
-        for k in tb:
-            if isinstance(tb[k], list):
-                assert tb[k] == pb[k]
-            else:
-                np.testing.assert_array_equal(tb[k], pb[k], err_msg=k)
+    thread_e = epochs("thread")
+    process_e = epochs("process")
+    for te, pe in zip(thread_e, process_e):
+        assert len(te) == len(pe) > 0
+        for tb, pb in zip(te, pe):
+            assert set(tb) == set(pb)
+            for k in tb:
+                if isinstance(tb[k], list):
+                    assert tb[k] == pb[k]
+                else:
+                    np.testing.assert_array_equal(tb[k], pb[k], err_msg=k)
+    # fresh augmentations: the duplicated index-0 rows differ within an
+    # epoch, and epoch 2 differs from epoch 1 (visit counters persist)
+    for e in (thread_e, process_e):
+        assert not np.array_equal(e[0][0]["pcl_in"][0], e[0][1]["pcl_in"][0])
+        assert not np.array_equal(e[0][0]["pcl_in"][0], e[1][0]["pcl_in"][0])

@@ -68,17 +68,21 @@ def main():
         for w in args.workers:
             loader = DataLoader(ds, batch_size=args.batch_size, shuffle=True,
                                 num_workers=w, workers_mode=mode, seed=1)
+            # the clock starts when the FIRST batch arrives and that batch is
+            # NOT counted: its production time (including the one-off pool
+            # fork — the pool persists across epochs) lies outside the
+            # measured window, so counting it would inflate the rate
             seen, t0, t_first = 0, time.perf_counter(), None
             while time.perf_counter() - t0 < args.min_seconds:
                 for batch in loader:
                     if t_first is None:
-                        # exclude pool startup (process fork) from the rate
                         t_first = time.perf_counter()
-                        seen = 0
+                        continue
                     seen += batch["pcl_in"].shape[0]
                     if time.perf_counter() - t0 > args.min_seconds:
                         break
             dt = time.perf_counter() - (t_first or t0)
+            loader.close()
             print(json.dumps({
                 "metric": "loader_sustained", "mode": mode, "workers": w,
                 "samples_per_s": seen / max(dt, 1e-9), "batch": args.batch_size,
