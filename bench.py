@@ -68,19 +68,10 @@ def main():
     # 120-135), so a fresh net computes score = 0 and XLA constant-folds the
     # whole ODE scan away.  Perturb every parameter so the benchmark measures
     # the real trained-model compute graph, not a dead-code-eliminated one.
-    def _derandomize(state):
-        leaves, treedef = jax.tree.flatten(state.params)
-        keys = jax.random.split(jax.random.PRNGKey(42), len(leaves))
-        leaves = [
-            l + 0.01 * jax.random.normal(k, l.shape, l.dtype)
-            for l, k in zip(leaves, keys)
-        ]
-        params = jax.tree.unflatten(treedef, leaves)
-        return state.replace(params=params,
-                             ema=state.ema.replace(shadow=params))
+    from genpose_tpu.utils.benchmarking import derandomize_state
 
-    score_agent.state = _derandomize(score_agent.state)
-    energy_agent.state = _derandomize(energy_agent.state)
+    score_agent.state = derandomize_state(score_agent.state)
+    energy_agent.state = derandomize_state(energy_agent.state)
     # Serving deployments pin their weights, so measure the frozen program:
     # weights baked as XLA constants (BN scale/bias folded into matmuls,
     # weight layouts pre-packed).  Measured 19.0 -> 15.4 ms/iter on v5e

@@ -17,11 +17,9 @@ Run on the real TPU: ``python tools/profile_pipeline.py`` (env BENCH_BATCH /
 BENCH_K / BENCH_ITERS).  Prints one JSON line per measurement.
 """
 
-import functools
 import json
 import os
 import sys
-import time
 
 import jax
 
@@ -34,36 +32,8 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import jax.numpy as jnp
 import numpy as np
 
-PEAK_FLOPS = {"tpu v5e": 197e12, "cpu": 1e11}
-
-
-def _peak():
-    d = jax.devices()[0]
-    kind = getattr(d, "device_kind", "cpu").lower()
-    for k, v in PEAK_FLOPS.items():
-        if k in kind.lower():
-            return v
-    return 197e12  # assume v5e-class if unrecognized
-
-
-def _time_chain(fn, pts, key, iters, carrier_shape):
-    """Run `iters` copies of fn inside one jitted fori_loop, serialized by a
-    data dependence; return seconds per iteration (after warmup)."""
-
-    @functools.partial(jax.jit, static_argnames=("n",))
-    def chained(pts, key, n):
-        def it(i, carry):
-            p = pts + 1e-12 * jnp.sum(carry)
-            # f32 carry regardless of the stage's compute dtype (bf16 feats)
-            return jnp.asarray(fn(p, jax.random.fold_in(key, i)), jnp.float32)
-        return jax.lax.fori_loop(0, n, it, jnp.zeros(carrier_shape))
-
-    out = chained(pts, key, n=iters)
-    np.asarray(out)  # compile+warm sync
-    t0 = time.perf_counter()
-    out = chained(pts, key, n=iters)
-    np.asarray(out)
-    return (time.perf_counter() - t0) / iters
+from genpose_tpu.utils.benchmarking import (
+    derandomize_state, peak_flops as _peak, time_chain as _time_chain)
 
 
 def main():
@@ -82,16 +52,8 @@ def main():
     pipe = InferencePipeline(cfg, batch_size=bs)
     sa, ea = pipe.score_agent, pipe.energy_agent
 
-    def _derandomize(state):
-        leaves, treedef = jax.tree.flatten(state.params)
-        keys = jax.random.split(jax.random.PRNGKey(42), len(leaves))
-        leaves = [l + 0.01 * jax.random.normal(k, l.shape, l.dtype)
-                  for l, k in zip(leaves, keys)]
-        params = jax.tree.unflatten(treedef, leaves)
-        return state.replace(params=params,
-                             ema=state.ema.replace(shadow=params))
-
-    sa.state, ea.state = _derandomize(sa.state), _derandomize(ea.state)
+    sa.state = derandomize_state(sa.state)
+    ea.state = derandomize_state(ea.state)
     s_state, e_state = sa.state, ea.state
 
     rng = np.random.default_rng(0)

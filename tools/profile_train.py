@@ -14,11 +14,9 @@ Run on the real TPU: ``python tools/profile_train.py`` (env TRAIN_BATCH /
 TRAIN_REPEAT / BENCH_ITERS).  Prints one JSON line per measurement.
 """
 
-import functools
 import json
 import os
 import sys
-import time
 
 import jax
 
@@ -31,30 +29,14 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import jax.numpy as jnp
 import numpy as np
 
-PEAK_FLOPS = {"tpu v5e": 197e12, "cpu": 1e11}
-
-
-def _peak():
-    kind = getattr(jax.devices()[0], "device_kind", "cpu").lower()
-    for k, v in PEAK_FLOPS.items():
-        if k in kind:
-            return v
-    return 197e12
+from genpose_tpu.utils.benchmarking import (
+    derandomize_state, peak_flops as _peak, time_chain)
 
 
 def _time_chain(fn, pts, gt, key, iters, carrier_shape):
-    @functools.partial(jax.jit, static_argnames=("n",))
-    def chained(pts, gt, key, n):
-        def it(i, carry):
-            p = pts + 1e-12 * jnp.sum(carry)
-            return jnp.asarray(fn(p, gt, jax.random.fold_in(key, i)),
-                               jnp.float32)
-        return jax.lax.fori_loop(0, n, it, jnp.zeros(carrier_shape))
-
-    np.asarray(chained(pts, gt, key, n=iters))
-    t0 = time.perf_counter()
-    np.asarray(chained(pts, gt, key, n=iters))
-    return (time.perf_counter() - t0) / iters
+    # close over gt so the shared 2-arg chain timer applies
+    return time_chain(lambda p, k: fn(p, gt, k), pts, key, iters,
+                      carrier_shape)
 
 
 def main():
@@ -73,13 +55,7 @@ def main():
     agent = PoseAgent(cfg, "score")
 
     # perturb so XLA cannot constant-fold the zero-init heads
-    leaves, treedef = jax.tree.flatten(agent.state.params)
-    keys = jax.random.split(jax.random.PRNGKey(42), len(leaves))
-    leaves = [l + 0.01 * jax.random.normal(k, l.shape, l.dtype)
-              for l, k in zip(leaves, keys)]
-    params = jax.tree.unflatten(treedef, leaves)
-    agent.state = agent.state.replace(
-        params=params, ema=agent.state.ema.replace(shadow=params))
+    agent.state = derandomize_state(agent.state)
     state = agent.state
 
     rng = np.random.default_rng(0)
