@@ -39,6 +39,41 @@ def _tail_specs(regression_head: str, pose_dim: int):
     raise NotImplementedError(regression_head)
 
 
+# Tail-bank plumbing shared by PoseTrunk (score/energy) and PoseDecoderNet
+# (EDM): identical tail shapes fuse into one wide matmul bank, otherwise a
+# list of split tails; ``precompute``/``from_proj`` hoist the loop-invariant
+# pts_feat projections out of sampler step scans.
+
+def _make_tail_bank(specs, dtype):
+    if len({(h, o) for _, h, o in specs}) == 1:
+        return FusedTails(num_tails=len(specs), hidden=specs[0][1],
+                          out_dim=specs[0][2], dtype=dtype, name="tails")
+    return [SplitTail(hidden, out_dim, dtype=dtype, name=name)
+            for name, hidden, out_dim in specs]
+
+
+def _tail_bank_precompute(tails, pts_feat):
+    if isinstance(tails, FusedTails):
+        return tails.precompute(pts_feat)
+    return tuple(tail.precompute(pts_feat) for tail in tails)
+
+
+def _tail_bank_from_proj(tails, projs, embed_feat, pose_feat):
+    """embed_feat (the t/sigma embedding) may be a step-shared [1, C] row —
+    it broadcasts through the fused bank, or is materialized for the split
+    tails' concat."""
+    if isinstance(tails, FusedTails):
+        return tails.from_proj(projs, embed_feat, pose_feat)
+    if embed_feat.shape[0] != pose_feat.shape[0]:
+        embed_feat = jnp.broadcast_to(
+            embed_feat, (pose_feat.shape[0], embed_feat.shape[1]))
+    dyn_feat = jnp.concatenate([embed_feat, pose_feat], axis=-1)
+    return jnp.concatenate(
+        [tail.from_proj(fp, dyn_feat) for tail, fp in zip(tails, projs)],
+        axis=-1,
+    )
+
+
 class PoseTrunk(nn.Module):
     """Shared (t, pose) conditioning trunk + split fusion tails.
 
@@ -75,23 +110,12 @@ class PoseTrunk(nn.Module):
                              dtype=self.dtype, name=name)
                 for name, _, out_dim in specs
             ]
-        # identical tail shapes -> one fused bank (single wide matmul per
-        # step); otherwise a list of split tails (R_and_T's 6/3 outputs)
-        elif len({(h, o) for _, h, o in specs}) == 1:
-            self.tails = FusedTails(
-                num_tails=len(specs), hidden=specs[0][1], out_dim=specs[0][2],
-                dtype=self.dtype, name="tails")
         else:
-            self.tails = [
-                SplitTail(hidden, out_dim, dtype=self.dtype, name=name)
-                for name, hidden, out_dim in specs
-            ]
+            self.tails = _make_tail_bank(specs, self.dtype)
 
     def precompute(self, pts_feat):
         """Loop-invariant tail projections of pts_feat."""
-        if isinstance(self.tails, FusedTails):
-            return self.tails.precompute(pts_feat)
-        return tuple(tail.precompute(pts_feat) for tail in self.tails)
+        return _tail_bank_precompute(self.tails, pts_feat)
 
     def f_theta_from(self, projs, sampled_pose, t, train: bool = False):
         """Head output given precomputed projections.
@@ -111,16 +135,7 @@ class PoseTrunk(nn.Module):
                  for tail, fp in zip(self.tails, projs)],
                 axis=-1,
             )
-        if isinstance(self.tails, FusedTails):
-            return self.tails.from_proj(projs, t_feat, pose_feat)
-        if t_feat.shape[0] != pose_feat.shape[0]:
-            t_feat = jnp.broadcast_to(
-                t_feat, (pose_feat.shape[0], t_feat.shape[1]))
-        dyn_feat = jnp.concatenate([t_feat, pose_feat], axis=-1)
-        return jnp.concatenate(
-            [tail.from_proj(fp, dyn_feat) for tail, fp in zip(self.tails, projs)],
-            axis=-1,
-        )
+        return _tail_bank_from_proj(self.tails, projs, t_feat, pose_feat)
 
     def __call__(self, pts_feat, sampled_pose, t, train: bool = False):
         return self.f_theta_from(self.precompute(pts_feat), sampled_pose, t,
@@ -188,22 +203,12 @@ class PoseDecoderNet(nn.Module):
         self.sigma_dense = nn.Dense(128, dtype=self.dtype, name="sigma_dense")
         self.pose_dense_0 = nn.Dense(256, dtype=self.dtype, name="pose_dense_0")
         self.pose_dense_1 = nn.Dense(256, dtype=self.dtype, name="pose_dense_1")
-        specs = _tail_specs(self.regression_head, pose_dim)
-        if len({(h, o) for _, h, o in specs}) == 1:
-            self.tails = FusedTails(
-                num_tails=len(specs), hidden=specs[0][1], out_dim=specs[0][2],
-                dtype=self.dtype, name="tails")
-        else:
-            self.tails = [
-                SplitTail(hidden, out_dim, dtype=self.dtype, name=name)
-                for name, hidden, out_dim in specs
-            ]
+        self.tails = _make_tail_bank(
+            _tail_specs(self.regression_head, pose_dim), self.dtype)
 
     def precompute(self, pts_feat):
         """Loop-invariant tail projections of pts_feat."""
-        if isinstance(self.tails, FusedTails):
-            return self.tails.precompute(pts_feat)
-        return tuple(tail.precompute(pts_feat) for tail in self.tails)
+        return _tail_bank_precompute(self.tails, pts_feat)
 
     def _f_theta_from(self, projs, sampled_pose, t):
         _, sigma_t = self.marginal_prob_fn(None, t)
@@ -212,16 +217,8 @@ class PoseDecoderNet(nn.Module):
         sig_feat = nn.relu(self.sigma_dense(self.sigma_embed(c_noise[:, 0])))
         pose_feat = nn.relu(self.pose_dense_0(sampled_pose))
         pose_feat = nn.relu(self.pose_dense_1(pose_feat))
-        if isinstance(self.tails, FusedTails):
-            return sigma_t, self.tails.from_proj(projs, sig_feat, pose_feat)
-        if sig_feat.shape[0] != pose_feat.shape[0]:
-            sig_feat = jnp.broadcast_to(
-                sig_feat, (pose_feat.shape[0], sig_feat.shape[1]))
-        dyn_feat = jnp.concatenate([sig_feat, pose_feat], axis=-1)
-        return sigma_t, jnp.concatenate(
-            [tail.from_proj(fp, dyn_feat) for tail, fp in zip(self.tails, projs)],
-            axis=-1,
-        )
+        return sigma_t, _tail_bank_from_proj(self.tails, projs, sig_feat,
+                                             pose_feat)
 
     def denoise_from(self, projs, sampled_pose, t):
         """Denoised pose given precomputed projections; t may be [N,1] or a
