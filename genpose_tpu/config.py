@@ -155,6 +155,14 @@ class Config:
     pts_aug: PtsAugConfig = field(default_factory=PtsAugConfig)
     deform_2d: Deform2DConfig = field(default_factory=Deform2DConfig)
 
+    def __post_init__(self):
+        # fail fast on knob typos: these are string enums consumed deep in
+        # the agent/loader ('fp32' for head_dtype would otherwise silently
+        # mean 'compute', invalidating a precision experiment)
+        assert self.compute_dtype in ("float32", "bfloat16"), self.compute_dtype
+        assert self.head_dtype in ("compute", "float32"), self.head_dtype
+        assert self.loader_mode in ("thread", "process"), self.loader_mode
+
     def replace(self, **kwargs) -> "Config":
         return dataclasses.replace(self, **kwargs)
 
