@@ -235,9 +235,10 @@ def inference(cfg: Config, test_loader, agent: PoseAgent):
             results["pred_pose"] = np.concatenate(
                 [results["pred_pose"], pred_cat[:, None]], axis=1)
 
+    sampler = cfg.sampler_mode[0] if cfg.sampler_mode else "ode"
     save_path = os.path.join(
         "results", "inference_results", cfg.log_dir,
-        f"{cfg.test_source}_ode_{cfg.sampling_steps}")
+        f"{cfg.test_source}_{sampler}_{cfg.sampling_steps}")
     os.makedirs(save_path, exist_ok=True)
     with open(os.path.join(save_path, "metrics.json"), "w") as f:
         json.dump(metrics, f, indent=1)
