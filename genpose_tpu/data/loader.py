@@ -23,22 +23,27 @@ import numpy as np
 
 # Process-worker plumbing: each worker holds its own dataset copy (installed
 # once by the pool initializer) and fetches by (index, visit).  Sample
-# content is bit-identical across thread/process modes BY CONSTRUCTION: the
-# parent assigns the visit (augmentation-draw) number per dispatch and the
-# dataset derives its RNG from (seed, index, visit) — worker-local counters
-# would reset on every fork and repeat the augmentation stream each epoch.
+# content is bit-identical across thread/process modes BY CONSTRUCTION for
+# datasets exposing ``fetch(index, visit)`` (process mode REQUIRES it —
+# enforced in ``DataLoader.__init__``): the parent assigns the visit
+# (augmentation-draw) number per dispatch and the dataset derives its RNG
+# from (seed, index, visit) — worker-local counters would reset on every
+# fork and repeat the augmentation stream each epoch.  Thread mode accepts
+# plain ``__getitem__`` datasets as well (single in-process counter).
 _worker_dataset = None
 
 
-def _init_worker(dataset) -> None:
+def _init_worker(dataset, barrier) -> None:
     global _worker_dataset
     _worker_dataset = dataset
+    # Rendezvous so _ensure_pool's warm-up submits force the executor to
+    # fork ALL workers eagerly (it otherwise forks lazily, one per submit,
+    # from whichever thread submits — see _ensure_pool).
+    barrier.wait()
 
 
 def _fetch(index: int, visit: int):
-    if hasattr(_worker_dataset, "fetch"):
-        return _worker_dataset.fetch(int(index), int(visit))
-    return _worker_dataset[int(index)]
+    return _worker_dataset.fetch(int(index), int(visit))
 
 
 def collate(samples: Sequence[Dict]) -> Dict[str, np.ndarray]:
@@ -97,6 +102,14 @@ class DataLoader:
         threads may hold malloc/gRPC mutexes at fork time); call ``close()``
         (or drop the loader) when done."""
         assert workers_mode in ("thread", "process")
+        if workers_mode == "process" and not hasattr(dataset, "fetch"):
+            # without an explicit-visit fetch, forked workers would fall back
+            # to per-worker __getitem__ counters that reset on every fork and
+            # repeat the augmentation stream — fail fast instead of silently
+            # losing the parent-assigned-visit determinism guarantee
+            raise TypeError(
+                "workers_mode='process' requires the dataset to expose "
+                "fetch(index, visit) (see NOCSDataset.fetch)")
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -116,10 +129,23 @@ class DataLoader:
 
     def _ensure_pool(self) -> ProcessPoolExecutor:
         if self._pool is None:
-            self._pool = ProcessPoolExecutor(
-                max_workers=self.num_workers,
-                mp_context=multiprocessing.get_context("fork"),
-                initializer=_init_worker, initargs=(self.dataset,))
+            ctx = multiprocessing.get_context("fork")
+            # ProcessPoolExecutor forks lazily — one worker per submit, from
+            # whichever thread submits.  Left alone, the forks would happen
+            # in the PRODUCER thread at the first dispatch (and replacement
+            # forks mid-training), defeating the point of a single controlled
+            # fork site.  The barrier-blocked initializer plus num_workers
+            # warm-up submits force every fork to happen HERE, now: each
+            # submit sees no idle worker (they are all parked on the barrier)
+            # and spawns one more, until all num_workers exist.
+            barrier = ctx.Barrier(self.num_workers)
+            pool = ProcessPoolExecutor(
+                max_workers=self.num_workers, mp_context=ctx,
+                initializer=_init_worker, initargs=(self.dataset, barrier))
+            warmup = [pool.submit(int, 0) for _ in range(self.num_workers)]
+            for f in warmup:
+                f.result(timeout=120)
+            self._pool = pool
         return self._pool
 
     def close(self) -> None:

@@ -266,3 +266,21 @@ def test_process_loader_matches_thread_loader(tmp_path):
     for e in (thread_e, process_e):
         assert not np.array_equal(e[0][0]["pcl_in"][0], e[0][1]["pcl_in"][0])
         assert not np.array_equal(e[0][0]["pcl_in"][0], e[1][0]["pcl_in"][0])
+
+
+def test_process_loader_requires_fetch():
+    """process mode fails fast for datasets without fetch(index, visit):
+    forked workers would otherwise fall back to per-worker counters that
+    reset on every fork and silently repeat the augmentation stream
+    (review regression)."""
+    from genpose_tpu.data.loader import DataLoader
+
+    class NoFetch:
+        def __len__(self):
+            return 4
+
+        def __getitem__(self, i):
+            return {"x": np.zeros(3, np.float32)}
+
+    with pytest.raises(TypeError, match="fetch"):
+        DataLoader(NoFetch(), batch_size=2, workers_mode="process")

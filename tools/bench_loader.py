@@ -73,15 +73,21 @@ def main():
             # fork — the pool persists across epochs) lies outside the
             # measured window, so counting it would inflate the rate
             seen, t0, t_first = 0, time.perf_counter(), None
+            t_end = t0
             while time.perf_counter() - t0 < args.min_seconds:
                 for batch in loader:
                     if t_first is None:
                         t_first = time.perf_counter()
                         continue
                     seen += batch["pcl_in"].shape[0]
-                    if time.perf_counter() - t0 > args.min_seconds:
+                    # window closes at the last COUNTED batch: breaking out
+                    # of the loop tears the generator down (joins the
+                    # producer mid-batch), and that uncounted tail would
+                    # otherwise deflate the rate
+                    t_end = time.perf_counter()
+                    if t_end - t0 > args.min_seconds:
                         break
-            dt = time.perf_counter() - (t_first or t0)
+            dt = t_end - (t_first or t0)
             loader.close()
             print(json.dumps({
                 "metric": "loader_sustained", "mode": mode, "workers": w,
