@@ -423,8 +423,22 @@ def main(argv=None):
             loaders["train_loader"], loaders["val_loader"], loaders["test_loader"])
         steps_per_epoch = max(1, len(train_loader))
     else:
-        test_loader = get_data_loaders_from_cfg(cfg, ["test"])["test_loader"]
+        loaders = get_data_loaders_from_cfg(cfg, ["test"])
+        test_loader = loaders["test_loader"]
         steps_per_epoch = 1000
+    try:
+        _run_flows(cfg, mesh, loaders, steps_per_epoch)
+    finally:
+        # release the persistent process pools (loader_mode='process')
+        for ld in loaders.values():
+            ld.close()
+
+
+def _run_flows(cfg, mesh, loaders, steps_per_epoch):
+    test_loader = loaders["test_loader"]
+    if not (cfg.eval or cfg.pred or cfg.likelihood):
+        train_loader, val_loader = (
+            loaders["train_loader"], loaders["val_loader"])
 
     if cfg.agent_type == "score":
         tr_agent = PoseAgent(cfg, "score", steps_per_epoch, mesh)
