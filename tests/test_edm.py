@@ -273,3 +273,25 @@ def test_edm_trainer_cli_end_to_end(tmp_path, monkeypatch):
             "Real_edm_4")
     metrics = json.loads((save / "metrics.json").read_text())
     assert np.isfinite(np.asarray(metrics["index_0"])).all()
+
+
+def test_edm_serving_under_mesh_matches_unsharded():
+    """EDM serving under the 8-device dp mesh matches the single-device
+    pipeline (the VE twin lives in tests/test_serving.py) — pins the EDM
+    sampler's sigma-ladder scan + T0 pathway under jit-auto-SPMD."""
+    from genpose_tpu.parallel.mesh import make_mesh
+    from genpose_tpu.runners.serving import InferencePipeline
+
+    cfg = Config(num_points=N_PTS, batch_size=8, eval_repeat_num=3,
+                 sampling_steps=6, pts_encoder="pointnet", sde_mode="edm",
+                 sampler_mode=("edm",))
+    sharded = InferencePipeline(cfg, mesh=make_mesh(8))
+    plain = InferencePipeline(cfg)
+
+    rng = np.random.default_rng(7)
+    pts = rng.normal(size=(8, N_PTS, 3)).astype(np.float32) * 0.1
+    out_s = sharded.predict(pts, key=jax.random.PRNGKey(3))
+    out_p = plain.predict(pts, key=jax.random.PRNGKey(3))
+    for k in out_p:
+        assert np.isfinite(out_s[k]).all()
+        np.testing.assert_allclose(out_s[k], out_p[k], rtol=2e-4, atol=2e-4)
