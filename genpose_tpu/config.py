@@ -121,6 +121,12 @@ class Config:
     # rotation learning at full model size even with f32 heads — train in
     # f32 (see models/posenet.py::GFObjectPose.head_dtype, BASELINE.md r3).
     head_dtype: str = "compute"
+    # Backward precision for the encoder's feature gathers: "exact" inherits
+    # the forward's 6-pass HIGHEST scatter-add via autodiff; "fast" runs it
+    # in a single DEFAULT MXU pass (gradient contributions bf16-rounded,
+    # f32-accumulated — the loss/forward is unchanged and gradients are not
+    # a parity surface).  See ops/pointcloud.py::_row_gather_fast_bwd.
+    gather_grad: str = "exact"
 
     # ---- testing ----
     eval: bool = False
@@ -162,6 +168,7 @@ class Config:
         assert self.compute_dtype in ("float32", "bfloat16"), self.compute_dtype
         assert self.head_dtype in ("compute", "float32"), self.head_dtype
         assert self.loader_mode in ("thread", "process"), self.loader_mode
+        assert self.gather_grad in ("exact", "fast"), self.gather_grad
 
     def replace(self, **kwargs) -> "Config":
         return dataclasses.replace(self, **kwargs)

@@ -176,6 +176,10 @@ class PointnetSAModuleMSG(nn.Module):
     use_bn: bool = True
     bn_axis_name: Optional[str] = None
     dtype: jnp.dtype = jnp.float32
+    # single-MXU-pass scatter-add backward for the FEATURE gathers (forward
+    # numerics unchanged; gradients bf16-rounded per contribution — see
+    # ``ops/pointcloud.py::_row_gather_fast_bwd``)
+    fast_grad_gathers: bool = False
 
     @nn.compact
     def __call__(self, xyz, features, train: bool = False, geometry=None):
@@ -203,7 +207,8 @@ class PointnetSAModuleMSG(nn.Module):
             grouped_xyz = geometry["grouped_xyz"][i]
             if self.npoint is not None:
                 if features is not None:
-                    gf = group_points(features, geometry["gidx"][i])
+                    gf = group_points(features, geometry["gidx"][i],
+                                      fast_bwd=self.fast_grad_gathers)
                     g = (jnp.concatenate([grouped_xyz, gf], axis=-1)
                          if self.use_xyz else gf)
                 else:
@@ -337,6 +342,7 @@ class Pointnet2ClsMSG(nn.Module):
     use_bn: bool = True
     bn_axis_name: Optional[str] = None
     dtype: jnp.dtype = jnp.float32
+    fast_grad_gathers: bool = False  # see PointnetSAModuleMSG
 
     @nn.compact
     def __call__(self, pointcloud, train: bool = False, geometry=None):
@@ -360,6 +366,7 @@ class Pointnet2ClsMSG(nn.Module):
                 use_bn=self.use_bn,
                 bn_axis_name=self.bn_axis_name,
                 dtype=self.dtype,
+                fast_grad_gathers=self.fast_grad_gathers,
                 name=f"sa_{k}",
             )(xyz, features, train=train,
               geometry=None if geometry is None else geometry[k])

@@ -32,6 +32,10 @@ import jax.numpy as jnp
 
 from genpose_tpu.ops.fps_pallas import fps_pallas
 
+# one-hot gathers/scatters chunk over M when a materialized one-hot would
+# exceed this many bytes (patchable in tests)
+_OH_CHUNK_BYTES = 2 << 30
+
 
 # ---------------------------------------------------------------------------
 # Furthest point sampling
@@ -120,13 +124,59 @@ def one_hot_gather(points: jnp.ndarray, idx: jnp.ndarray,
                           precision=precision)
 
     n_chunks = 1
-    while B * (M // n_chunks) * N * 4 > (2 << 30) and M % (n_chunks * 2) == 0:
+    while B * (M // n_chunks) * N * 4 > _OH_CHUNK_BYTES and M % (n_chunks * 2) == 0:
         n_chunks *= 2
     if n_chunks == 1:
         return oh_gather(idx)
     chunks = jnp.moveaxis(idx.reshape(B, n_chunks, M // n_chunks), 1, 0)
     _, out = jax.lax.scan(lambda _, ic: (None, oh_gather(ic)), None, chunks)
     return jnp.moveaxis(out, 0, 1).reshape(B, M, points.shape[2])
+
+
+def _row_gather_fast_bwd(points: jnp.ndarray, idx: jnp.ndarray,
+                         precision) -> jnp.ndarray:
+    """:func:`_row_gather` with a single-MXU-pass backward.
+
+    The forward stays whatever ``precision`` asks (HIGHEST = bit-exact for
+    f32 values, matching the reference CUDA gather), but the scatter-add
+    backward (ref ``group_points_gpu.cu:8-44``'s atomicAdd) runs the
+    transposed one-hot einsum at DEFAULT precision: one MXU pass instead of
+    the six a HIGHEST cotangent inherits from autodiff.  The cotangent
+    contributions are bf16-rounded before the f32 accumulation — a
+    deliberate approximation that is safe ONLY for gradients (they are
+    never a parity surface; the loss itself is unchanged)."""
+
+    (B, N, C), dtype = points.shape, points.dtype
+
+    @jax.custom_vjp
+    def g(pts):
+        return _row_gather(pts, idx, precision)
+
+    def fwd(pts):
+        return g(pts), None
+
+    def bwd(res, ct):
+
+        def scatter(ct_chunk, idx_chunk):
+            onehot = jax.nn.one_hot(idx_chunk, N, dtype=ct_chunk.dtype)
+            return jnp.einsum("bmn,bmc->bnc", onehot, ct_chunk,
+                              precision=jax.lax.Precision.DEFAULT)
+
+        M = idx.shape[1]
+        n_chunks = 1
+        while B * (M // n_chunks) * N * 4 > _OH_CHUNK_BYTES and M % (n_chunks * 2) == 0:
+            n_chunks *= 2
+        if n_chunks == 1:
+            return (scatter(ct, idx).astype(dtype),)
+        cts = jnp.moveaxis(ct.reshape(B, n_chunks, M // n_chunks, C), 1, 0)
+        idxs = jnp.moveaxis(idx.reshape(B, n_chunks, M // n_chunks), 1, 0)
+        acc = jax.lax.scan(
+            lambda a, ci: (a + scatter(ci[0], ci[1]), None),
+            jnp.zeros((B, N, C), ct.dtype), (cts, idxs))[0]
+        return (acc.astype(dtype),)
+
+    g.defvjp(fwd, bwd)
+    return g(points)
 
 
 def gather_points(points: jnp.ndarray, idx: jnp.ndarray,
@@ -136,10 +186,18 @@ def gather_points(points: jnp.ndarray, idx: jnp.ndarray,
 
 
 def group_points(points: jnp.ndarray, idx: jnp.ndarray,
-                 precision=None) -> jnp.ndarray:
-    """points [B, N, C], idx [B, M, S] -> [B, M, S, C] (ref ``group_points_gpu.cu:47-86``)."""
+                 precision=None, fast_bwd: bool = False) -> jnp.ndarray:
+    """points [B, N, C], idx [B, M, S] -> [B, M, S, C] (ref ``group_points_gpu.cu:47-86``).
+
+    ``fast_bwd``: single-pass DEFAULT-precision scatter-add backward (see
+    :func:`_row_gather_fast_bwd`); forward numerics unchanged.  TPU only —
+    other backends keep the native take_along_axis autodiff."""
     B, M, S = idx.shape
-    out = _row_gather(points, idx.reshape(B, M * S), precision)
+    flat = idx.reshape(B, M * S)
+    if fast_bwd and jax.default_backend() == "tpu":
+        out = _row_gather_fast_bwd(points, flat, precision)
+    else:
+        out = _row_gather(points, flat, precision)
     return out.reshape(B, M, S, points.shape[-1])
 
 

@@ -85,6 +85,7 @@ class PoseAgent:
             s_theta_mode=cfg.s_theta_mode,
             norm_energy=cfg.norm_energy,
             decoder_head=self.is_edm and self.mode == "score",
+            fast_grad_gathers=cfg.gather_grad == "fast",
             dtype=dtype,
             head_dtype=head_dtype,
         )

@@ -51,7 +51,8 @@ def main():
 
     cfg = Config(num_points=npts, batch_size=bs, repeat_num=repeat,
                  compute_dtype=dtype,
-                 head_dtype=os.environ.get("HEAD_DTYPE", "compute"))
+                 head_dtype=os.environ.get("HEAD_DTYPE", "compute"),
+                 gather_grad=os.environ.get("GATHER_GRAD", "exact"))
     agent = PoseAgent(cfg, "score")
 
     # perturb so XLA cannot constant-fold the zero-init heads
