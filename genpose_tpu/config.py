@@ -125,8 +125,20 @@ class Config:
     # the forward's 6-pass HIGHEST scatter-add via autodiff; "fast" runs it
     # in a single DEFAULT MXU pass (gradient contributions bf16-rounded,
     # f32-accumulated — the loss/forward is unchanged and gradients are not
-    # a parity surface).  See ops/pointcloud.py::_row_gather_fast_bwd.
-    gather_grad: str = "exact"
+    # a parity surface).  Default "fast": on-chip A/B gives +14% train step
+    # (1302 -> 1483 samples/s) with identical convergence (DSM 9.0 -> 1.5,
+    # rot 124 -> 31 deg in 3000 steps, matching exact's 1.4 / 33 deg;
+    # BASELINE.md r3).  See ops/pointcloud.py::_row_gather_fast_bwd.
+    gather_grad: str = "fast"
+    # Forward precision for the encoder's feature gathers DURING TRAINING
+    # (train=True only — eval/serving numerics are untouched either way):
+    # "exact" = 6-pass HIGHEST one-hot einsum (bit-exact f32 gather, the
+    # parity lowering); "fast" = single DEFAULT MXU pass (gathered values
+    # bf16-rounded, f32-accumulated).  Unlike gather_grad this perturbs the
+    # training LOSS numerics, so it is opt-in pending the on-chip
+    # convergence A/B (see BASELINE.md).  No-op for bf16 compute where
+    # DEFAULT is already exact.
+    gather_fwd: str = "exact"
 
     # ---- testing ----
     eval: bool = False
@@ -169,6 +181,7 @@ class Config:
         assert self.head_dtype in ("compute", "float32"), self.head_dtype
         assert self.loader_mode in ("thread", "process"), self.loader_mode
         assert self.gather_grad in ("exact", "fast"), self.gather_grad
+        assert self.gather_fwd in ("exact", "fast"), self.gather_fwd
 
     def replace(self, **kwargs) -> "Config":
         return dataclasses.replace(self, **kwargs)

@@ -180,6 +180,11 @@ class PointnetSAModuleMSG(nn.Module):
     # numerics unchanged; gradients bf16-rounded per contribution — see
     # ``ops/pointcloud.py::_row_gather_fast_bwd``)
     fast_grad_gathers: bool = False
+    # single-MXU-pass FORWARD feature gathers while train=True (values
+    # bf16-rounded, f32-accumulated) — perturbs the training loss, so only
+    # enabled via the ``gather_fwd`` config knob; eval keeps the exact
+    # dtype-aware default either way
+    fast_fwd_gathers: bool = False
 
     @nn.compact
     def __call__(self, xyz, features, train: bool = False, geometry=None):
@@ -207,7 +212,10 @@ class PointnetSAModuleMSG(nn.Module):
             grouped_xyz = geometry["grouped_xyz"][i]
             if self.npoint is not None:
                 if features is not None:
+                    fwd_prec = (jax.lax.Precision.DEFAULT
+                                if (self.fast_fwd_gathers and train) else None)
                     gf = group_points(features, geometry["gidx"][i],
+                                      precision=fwd_prec,
                                       fast_bwd=self.fast_grad_gathers)
                     g = (jnp.concatenate([grouped_xyz, gf], axis=-1)
                          if self.use_xyz else gf)
@@ -343,6 +351,7 @@ class Pointnet2ClsMSG(nn.Module):
     bn_axis_name: Optional[str] = None
     dtype: jnp.dtype = jnp.float32
     fast_grad_gathers: bool = False  # see PointnetSAModuleMSG
+    fast_fwd_gathers: bool = False  # see PointnetSAModuleMSG
 
     @nn.compact
     def __call__(self, pointcloud, train: bool = False, geometry=None):
@@ -367,6 +376,7 @@ class Pointnet2ClsMSG(nn.Module):
                 bn_axis_name=self.bn_axis_name,
                 dtype=self.dtype,
                 fast_grad_gathers=self.fast_grad_gathers,
+                fast_fwd_gathers=self.fast_fwd_gathers,
                 name=f"sa_{k}",
             )(xyz, features, train=train,
               geometry=None if geometry is None else geometry[k])

@@ -59,6 +59,9 @@ class GFObjectPose(nn.Module):
     # Training-only: single-pass scatter-add backward for the encoder's
     # feature gathers (see ``ops/pointcloud.py::_row_gather_fast_bwd``).
     fast_grad_gathers: bool = False
+    # Training-only (train=True): single-pass FORWARD feature gathers
+    # (``gather_fwd`` config knob; eval numerics untouched).
+    fast_fwd_gathers: bool = False
 
     def setup(self):
         hdt = self.dtype if self.head_dtype is None else self.head_dtype
@@ -68,13 +71,15 @@ class GFObjectPose(nn.Module):
             self.encoder = Pointnet2ClsMSG(
                 input_channels=0, config=self.pointnet2_params,
                 bn_axis_name=self.bn_axis_name, dtype=self.dtype,
-                fast_grad_gathers=self.fast_grad_gathers)
+                fast_grad_gathers=self.fast_grad_gathers,
+                fast_fwd_gathers=self.fast_fwd_gathers)
         elif self.pts_encoder == "pointnet_and_pointnet2":
             self.encoder_pn = PointNetfeat(in_dim=3, out_dim=1024, dtype=self.dtype)
             self.encoder_pn2 = Pointnet2ClsMSG(
                 input_channels=0, config=self.pointnet2_params,
                 bn_axis_name=self.bn_axis_name, dtype=self.dtype,
-                fast_grad_gathers=self.fast_grad_gathers)
+                fast_grad_gathers=self.fast_grad_gathers,
+                fast_fwd_gathers=self.fast_fwd_gathers)
             self.fusion_layer = nn.Dense(1024, dtype=self.dtype)
         else:
             raise NotImplementedError(self.pts_encoder)

@@ -86,6 +86,7 @@ class PoseAgent:
             norm_energy=cfg.norm_energy,
             decoder_head=self.is_edm and self.mode == "score",
             fast_grad_gathers=cfg.gather_grad == "fast",
+            fast_fwd_gathers=cfg.gather_fwd == "fast",
             dtype=dtype,
             head_dtype=head_dtype,
         )

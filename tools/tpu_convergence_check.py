@@ -34,7 +34,9 @@ clouds = jnp.asarray(rng.normal(size=(4, 1024, 3)).astype(np.float32) * 0.1)
 cfg = Config(num_points=1024, repeat_num=20, batch_size=BS, lr=1e-3,
              warmup=100,
              compute_dtype=os.environ.get("TRAIN_DTYPE", "float32"),
-             head_dtype=os.environ.get("HEAD_DTYPE", "compute"))
+             head_dtype=os.environ.get("HEAD_DTYPE", "compute"),
+             gather_grad=os.environ.get("GATHER_GRAD", "exact"),
+             gather_fwd=os.environ.get("GATHER_FWD", "exact"))
 agent = PoseAgent(cfg, "score", steps_per_epoch=100)
 
 
