@@ -135,10 +135,14 @@ class Config:
     # "exact" = 6-pass HIGHEST one-hot einsum (bit-exact f32 gather, the
     # parity lowering); "fast" = single DEFAULT MXU pass (gathered values
     # bf16-rounded, f32-accumulated).  Unlike gather_grad this perturbs the
-    # training LOSS numerics, so it is opt-in pending the on-chip
-    # convergence A/B (see BASELINE.md).  No-op for bf16 compute where
-    # DEFAULT is already exact.
-    gather_fwd: str = "exact"
+    # training LOSS numerics, so it was gated on an on-chip convergence A/B:
+    # the 3000-step full-size check converges identically (DSM 9.0 -> 1.5,
+    # rot 124 -> 31.1 deg, trans -> 26.5 cm — same to print precision as
+    # exact) and the step gets +4.4% on top of gather_grad=fast
+    # (1475 -> 1540 samples/s; BASELINE.md r3).  Default "fast";
+    # `--gather_fwd exact` restores bit-exact f32 training gathers.  No-op
+    # for bf16 compute where DEFAULT is already exact.
+    gather_fwd: str = "fast"
 
     # ---- testing ----
     eval: bool = False

@@ -290,14 +290,14 @@ def test_gather_grad_config_wires_fast_bwd():
 def test_gather_fwd_config_wires_fast_fwd():
     """cfg.gather_fwd='fast' reaches the encoder module tree; the knob is
     train-only by construction (the SA module applies it only when
-    train=True) and defaults to 'exact'."""
+    train=True) and defaults to 'fast' (validated on-chip, BASELINE r3)."""
     from genpose_tpu.config import Config
     from genpose_tpu.training.agent import PoseAgent
 
     cfg = Config(num_points=32, batch_size=2, gather_fwd="fast")
     agent = PoseAgent(cfg, "score", steps_per_epoch=2)
     assert agent.model.fast_fwd_gathers is True
-    assert Config(num_points=32).gather_fwd == "exact"
+    assert Config(num_points=32).gather_fwd == "fast"  # validated default (BASELINE r3)
 
     # eval-mode forward is bit-identical with the knob on: precision only
     # changes under train=True (and only on the TPU one-hot lowering)
@@ -305,8 +305,9 @@ def test_gather_fwd_config_wires_fast_fwd():
 
     pts = jnp.asarray(
         np.random.default_rng(0).normal(size=(2, 32, 3)).astype(np.float32))
-    exact_agent = PoseAgent(Config(num_points=32, batch_size=2), "score",
-                            steps_per_epoch=2)
+    exact_agent = PoseAgent(
+        Config(num_points=32, batch_size=2, gather_fwd="exact"), "score",
+        steps_per_epoch=2)
     f_fast = agent.model.apply(
         {"params": exact_agent.state.params,
          "batch_stats": exact_agent.state.batch_stats},
