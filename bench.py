@@ -27,7 +27,6 @@ Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 import json
 import os
-import time
 
 import jax
 
@@ -89,33 +88,20 @@ def main():
     # ~20-35 ms RPC (round-2 measurement: 3-dispatch chaining reads ~1830
     # poses/s where the device actually sustains ~2840) — host/tunnel
     # overhead a real deployment overlaps with compute, not device time.
-    # Timing is synced via a host copy (block_until_ready alone is
-    # unreliable over the tunnel), and heads are perturbed above so XLA
-    # cannot constant-fold the sampler.  pipe._run inlines under the outer
-    # jit; outputs other than pred_pose are dead-code-eliminated.
-    # n is a TRACED argument on purpose: with a static trip count XLA's
-    # loop passes scale compile time with n (measured: the identical program
-    # compiles ~21-28 min at n=32 vs ~5 min at n=8 over the tunnel), while a
-    # dynamic bound compiles once (~5 min) at identical measured throughput
-    # (4932 vs 4870/5014 poses/s, within the +-1.5% run variance).
-    @jax.jit
-    def chained(pts, key, n):
-        def it(i, carry):
-            p = pts + 1e-12 * jnp.sum(carry)
-            out = pipe._run_frozen(p, jax.random.fold_in(key, i))
-            return out["pred_pose"]
-        return jax.lax.fori_loop(0, n, it, jnp.zeros((bs, 7)))
+    # ``time_chain`` (shared with tools/profile_*.py so the technique cannot
+    # drift) syncs via a host copy (block_until_ready alone is unreliable
+    # over the tunnel) and keeps the trip count TRACED (a static n=32 bound
+    # made the same program compile 21-28 min vs ~5 min, CLAUDE.md); heads
+    # are perturbed above so XLA cannot constant-fold the sampler.
+    # pipe._run_frozen inlines under time_chain's jit; outputs other than
+    # pred_pose are dead-code-eliminated.
+    from genpose_tpu.utils.benchmarking import time_chain
 
-    # warmup / compile
-    out = chained(pts, jax.random.PRNGKey(0), jnp.int32(iters))
-    np.asarray(out)
+    sec_per_iter = time_chain(
+        lambda p, k: pipe._run_frozen(p, k)["pred_pose"],
+        pts, jax.random.PRNGKey(1), iters, (bs, 7))
 
-    t0 = time.perf_counter()
-    out = chained(pts, jax.random.PRNGKey(1), jnp.int32(iters))
-    np.asarray(out)
-    dt = time.perf_counter() - t0
-
-    poses_per_sec = bs * iters / dt
+    poses_per_sec = bs / sec_per_iter
     tag = "rk45" if sampler == "ode_adaptive" else f"ode{steps}"
     print(json.dumps({
         "metric": f"inference_poses_per_sec_K{K}_{tag}",

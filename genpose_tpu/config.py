@@ -180,12 +180,16 @@ class Config:
     def __post_init__(self):
         # fail fast on knob typos: these are string enums consumed deep in
         # the agent/loader ('fp32' for head_dtype would otherwise silently
-        # mean 'compute', invalidating a precision experiment)
-        assert self.compute_dtype in ("float32", "bfloat16"), self.compute_dtype
-        assert self.head_dtype in ("compute", "float32"), self.head_dtype
-        assert self.loader_mode in ("thread", "process"), self.loader_mode
-        assert self.gather_grad in ("exact", "fast"), self.gather_grad
-        assert self.gather_fwd in ("exact", "fast"), self.gather_fwd
+        # mean 'compute', invalidating a precision experiment).  ValueError
+        # rather than assert so the guard survives python -O.
+        for name, allowed in (("compute_dtype", ("float32", "bfloat16")),
+                              ("head_dtype", ("compute", "float32")),
+                              ("loader_mode", ("thread", "process")),
+                              ("gather_grad", ("exact", "fast")),
+                              ("gather_fwd", ("exact", "fast"))):
+            val = getattr(self, name)
+            if val not in allowed:
+                raise ValueError(f"{name}={val!r} not in {allowed}")
 
     def replace(self, **kwargs) -> "Config":
         return dataclasses.replace(self, **kwargs)

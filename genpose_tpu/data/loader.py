@@ -33,13 +33,9 @@ import numpy as np
 _worker_dataset = None
 
 
-def _init_worker(dataset, barrier) -> None:
+def _init_worker(dataset) -> None:
     global _worker_dataset
     _worker_dataset = dataset
-    # Rendezvous so _ensure_pool's warm-up submits force the executor to
-    # fork ALL workers eagerly (it otherwise forks lazily, one per submit,
-    # from whichever thread submits — see _ensure_pool).
-    barrier.wait()
 
 
 def _fetch(index: int, visit: int):
@@ -130,21 +126,18 @@ class DataLoader:
     def _ensure_pool(self) -> ProcessPoolExecutor:
         if self._pool is None:
             ctx = multiprocessing.get_context("fork")
-            # ProcessPoolExecutor forks lazily — one worker per submit, from
-            # whichever thread submits.  Left alone, the forks would happen
-            # in the PRODUCER thread at the first dispatch (and replacement
-            # forks mid-training), defeating the point of a single controlled
-            # fork site.  The barrier-blocked initializer plus num_workers
-            # warm-up submits force every fork to happen HERE, now: each
-            # submit sees no idle worker (they are all parked on the barrier)
-            # and spawns one more, until all num_workers exist.
-            barrier = ctx.Barrier(self.num_workers)
+            # For fork contexts, ProcessPoolExecutor launches ALL
+            # max_workers synchronously inside the FIRST submit
+            # (_start_executor_manager_thread -> _launch_processes on
+            # CPython >= 3.11; dynamic per-submit spawning is spawn-only).
+            # One warm-up submit therefore pins every fork to HERE — the
+            # consumer thread, now — instead of the producer thread at the
+            # first dispatch, which is the controlled-fork-site property the
+            # class docstring relies on.
             pool = ProcessPoolExecutor(
                 max_workers=self.num_workers, mp_context=ctx,
-                initializer=_init_worker, initargs=(self.dataset, barrier))
-            warmup = [pool.submit(int, 0) for _ in range(self.num_workers)]
-            for f in warmup:
-                f.result(timeout=120)
+                initializer=_init_worker, initargs=(self.dataset,))
+            pool.submit(int, 0).result(timeout=120)
             self._pool = pool
         return self._pool
 

@@ -181,7 +181,10 @@ def main_tracking(cfg: Config, tracking: bool = True, T0: float = 0.15):
         sorted_pose, _ = sort_poses_by_energy(pred, energy)
         # same math as cal_average_sRT on the top-keep hypotheses, on device
         _, avg = score_agent.aggregate_hypotheses(sorted_pose[:, :keep])
-        return sorted_pose, quat_wxyz_to_matrix(avg[:, :4]), avg[:, 4:]
+        # Only the pooled pose leaves the program: returning the full
+        # [N_pad, K, d] sorted hypothesis set would force XLA to materialize
+        # an output buffer nothing downstream reads (advisor finding, r2/r3).
+        return quat_wxyz_to_matrix(avg[:, :4]), avg[:, 4:]
 
     # Overlap host-side frame decode (pkl/png -> instance clouds) with the
     # device pipeline: while frame N's fused dispatch runs, a single worker
@@ -194,62 +197,64 @@ def main_tracking(cfg: Config, tracking: bool = True, T0: float = 0.15):
     pool = ThreadPoolExecutor(max_workers=1)
     fut = (pool.submit(extract_single_frame_data, cfg, img_list[0], rng)
            if img_list else None)
-    for idx in range(len(img_list)):
-        frame = fut.result()
-        fut = (pool.submit(extract_single_frame_data, cfg,
-                           img_list[idx + 1], rng)
-               if idx + 1 < len(img_list) else None)
-        if frame is None:
-            continue
-        batch = _zero_center_batch(np.asarray(frame["pts"]))
+    # A frame error (corrupt pkl surfacing via fut.result(), device failure)
+    # must not leak the worker thread: the finally cancels the in-flight
+    # decode instead of blocking interpreter shutdown on it.
+    try:
+        for idx in range(len(img_list)):
+            frame = fut.result()
+            fut = (pool.submit(extract_single_frame_data, cfg,
+                               img_list[idx + 1], rng)
+                   if idx + 1 < len(img_list) else None)
+            if frame is None:
+                continue
+            batch = _zero_center_batch(np.asarray(frame["pts"]))
 
-        init_pose = None
-        if tracking:
-            key, k_n = jax.random.split(key)
-            init_sRT = np.array(add_noise_to_RT(
-                k_n, jnp.asarray(np.asarray(frame["gt_pose"], np.float32))))
-            for i, name in enumerate(frame["model_name"]):
-                if name in buffer["model_name"]:
-                    init_sRT[i] = buffer["pred_sRT"][
-                        buffer["model_name"].index(name)]
-            init_pose = srt_to_pose9d(jnp.asarray(init_sRT))
-            init_pose = init_pose.at[:, -3:].add(-batch["pts_center"])
+            init_pose = None
+            if tracking:
+                key, k_n = jax.random.split(key)
+                init_sRT = np.array(add_noise_to_RT(
+                    k_n, jnp.asarray(np.asarray(frame["gt_pose"], np.float32))))
+                for i, name in enumerate(frame["model_name"]):
+                    if name in buffer["model_name"]:
+                        init_sRT[i] = buffer["pred_sRT"][
+                            buffer["model_name"].index(name)]
+                init_pose = srt_to_pose9d(jnp.asarray(init_sRT))
+                init_pose = init_pose.at[:, -3:].add(-batch["pts_center"])
 
-        # Pad the instance axis to a power-of-two bucket so the jitted
-        # sampler/energy pipeline compiles once per bucket (<= log2 shapes)
-        # instead of once per distinct per-frame detection count — each
-        # compile costs minutes server-side on a tunneled backend.  Padded
-        # rows repeat the last instance and are sliced away below.
-        N = int(batch["zero_mean_pts"].shape[0])
-        n_pad = (1 << (N - 1).bit_length()) - N
-        if n_pad:
-            batch = {k: jnp.concatenate(
-                [v, jnp.repeat(v[-1:], n_pad, axis=0)]) for k, v in batch.items()}
-            if init_pose is not None:
-                init_pose = jnp.concatenate(
-                    [init_pose, jnp.repeat(init_pose[-1:], n_pad, axis=0)])
+            # Pad the instance axis to a power-of-two bucket so the jitted
+            # sampler/energy pipeline compiles once per bucket (<= log2
+            # shapes) instead of once per distinct per-frame detection count
+            # — each compile costs minutes server-side on a tunneled
+            # backend.  Padded rows repeat the last instance and are sliced
+            # away below.
+            N = int(batch["zero_mean_pts"].shape[0])
+            n_pad = (1 << (N - 1).bit_length()) - N
+            if n_pad:
+                batch = {k: jnp.concatenate(
+                    [v, jnp.repeat(v[-1:], n_pad, axis=0)])
+                    for k, v in batch.items()}
+                if init_pose is not None:
+                    init_pose = jnp.concatenate(
+                        [init_pose, jnp.repeat(init_pose[-1:], n_pad, axis=0)])
 
-        key, k_s = jax.random.split(key)
-        # sorted_dev (the full [N_pad, K, d] hypothesis set) is NOT
-        # materialized host-side: np.asarray on it would force a synchronous
-        # tunnel transfer every frame for a value nothing downstream reads
-        # (advisor finding, round 2).
-        sorted_dev, avg_R, avg_t = frame_pipeline(batch, init_pose, k_s)
+            key, k_s = jax.random.split(key)
+            avg_R, avg_t = frame_pipeline(batch, init_pose, k_s)
 
-        avg_sRT = np.tile(np.identity(4), (N, 1, 1))
-        avg_sRT[:, :3, :3] = np.asarray(avg_R)[:N]
-        avg_sRT[:, :3, 3] = np.asarray(avg_t)[:N]
-        buffer["model_name"] = frame["model_name"]
-        buffer["pred_sRT"] = avg_sRT
+            avg_sRT = np.tile(np.identity(4), (N, 1, 1))
+            avg_sRT[:, :3, :3] = np.asarray(avg_R)[:N]
+            avg_sRT[:, :3, 3] = np.asarray(avg_t)[:N]
+            buffer["model_name"] = frame["model_name"]
+            buffer["pred_sRT"] = avg_sRT
 
-        for i in range(avg_sRT.shape[0]):
-            rt_err = compute_RT_errors(
-                avg_sRT[i], frame["gt_pose"][i], int(frame["cat_id"][i]),
-                frame["gt_handle_visibility"][i], cfg.synset_names)
-            errors.setdefault(frame["model_name"][i], []).append(
-                np.asarray(rt_err).tolist())
-
-    pool.shutdown(wait=True)
+            for i in range(avg_sRT.shape[0]):
+                rt_err = compute_RT_errors(
+                    avg_sRT[i], frame["gt_pose"][i], int(frame["cat_id"][i]),
+                    frame["gt_handle_visibility"][i], cfg.synset_names)
+                errors.setdefault(frame["model_name"][i], []).append(
+                    np.asarray(rt_err).tolist())
+    finally:
+        pool.shutdown(wait=False, cancel_futures=True)
     metrics = aggregate_tracking_metrics(errors)
     save_dir = os.path.join(
         cfg.result_dir, "evaluation_results",

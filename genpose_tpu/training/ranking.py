@@ -17,6 +17,8 @@ from __future__ import annotations
 import jax.numpy as jnp
 from flax import linen as nn
 
+from genpose_tpu.ops.pose import get_pose_dim
+
 
 def ranking_loss(energy: jnp.ndarray) -> jnp.ndarray:
     """Pairwise sign-based margin over K energies sorted by GT error.
@@ -84,6 +86,10 @@ class RewardModel(nn.Module):
     @nn.compact
     def __call__(self, pts_feature, pose):
         """pts_feature [bs, 1024], pose [bs, pose_dim] -> [bs, 2]."""
+        if pose.shape[-1] != get_pose_dim(self.pose_mode):
+            raise ValueError(
+                f"pose dim {pose.shape[-1]} != "
+                f"{get_pose_dim(self.pose_mode)} for {self.pose_mode!r}")
         h = nn.relu(nn.Dense(256, dtype=self.dtype)(pose))
         h = nn.relu(nn.Dense(256, dtype=self.dtype)(h))
         f = jnp.concatenate([pts_feature, h], axis=-1)
