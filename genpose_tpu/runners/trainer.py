@@ -165,6 +165,13 @@ def train_energy(cfg: Config, train_loader, val_loader, energy_agent: PoseAgent,
     key = jax.random.PRNGKey(cfg.seed + 1)
     last_saved = -1
 
+    # The candidate-generating score agent is a pinned pretrained teacher
+    # for the whole run, so bake its weights into the sampling program as
+    # XLA constants (BN folds into matmuls, layouts pre-pack — measured
+    # ~19% on the serving pipeline, BASELINE.md r3).  sample() dispatches
+    # to the frozen program while the state object is unchanged.
+    score_agent.freeze()
+
     for epoch in range(clock.epoch, cfg.n_epochs + 1):
         for raw in train_loader:
             key, k_aug, k_cand, k_loss = jax.random.split(key, 4)

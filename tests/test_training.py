@@ -261,6 +261,39 @@ def test_trainer_cli_final_checkpoint_and_likelihood(tmp_path, monkeypatch):
     assert np.isfinite(summary["mean_bits"]) and summary["n"] > 0
 
 
+def test_trainer_cli_energy_with_ranking(tmp_path, monkeypatch):
+    """The energy_with_ranking CLI flow end-to-end (ref ``trainer.py:325-388``
+    via ``trainer.py:434-442``): a pretrained score teacher generates K=5
+    candidates per batch online (through the frozen weights-as-constants
+    sampling program) and the energy agent trains DSM + ranking; a
+    checkpoint must land."""
+    from genpose_tpu.data.synthetic import make_synthetic_nocs_dir
+    from genpose_tpu.runners import trainer
+    from genpose_tpu.training.checkpoints import latest_checkpoint
+
+    data_dir = str(tmp_path / "nocs")
+    make_synthetic_nocs_dir(data_dir, n_camera_scenes=2, n_real_scenes=2,
+                            seed=5)
+    monkeypatch.chdir(tmp_path)
+
+    common = [
+        "--data_path", data_dir, "--batch_size", "4", "--mini_bs", "4",
+        "--num_points", "64", "--repeat_num", "2", "--sampling_steps", "4",
+        "--num_workers", "1", "--warmup", "2", "--num_devices", "1",
+    ]
+    trainer.main(["--agent_type", "score", "--is_train", "true",
+                  "--n_epochs", "1", "--eval_freq", "100",
+                  "--log_dir", "teach"] + common)
+    score_ckpt = latest_checkpoint(str(tmp_path / "results/ckpts/teach"))
+    assert score_ckpt
+
+    trainer.main(["--agent_type", "energy_with_ranking", "--is_train", "true",
+                  "--n_epochs", "1", "--eval_freq", "100",
+                  "--log_dir", "rank",
+                  "--pretrained_score_model_path", score_ckpt] + common)
+    assert latest_checkpoint(str(tmp_path / "results/ckpts/rank"))
+
+
 def test_sharded_energy_train_step_matches_unsharded():
     """The energy/ranking step (DSM + O(K^2) pair loss + on-device GT error
     metrics) under the 8-device dp mesh must match the single-device result:
