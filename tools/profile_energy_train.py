@@ -1,0 +1,134 @@
+"""Energy/ranking TRAIN-step profiler (ref ``trainer.py:325-388``).
+
+Times the full energy-with-ranking training iteration — frozen score
+teacher generates K candidates (adaptive RK45 or fixed-step ODE), then the
+energy agent runs DSM + O(K^2) ranking + update — as ONE jitted program
+with the state carried through a fori_loop chain (same ~1%-stable
+technique as the other profilers; per-iteration dispatch over the tunnel
+would cost ~20-35 ms of RPC each).
+
+Env knobs: TRAIN_BATCH (192), TRAIN_K (5), SAMPLER (ode_adaptive | ode),
+FREEZE (1 = teacher weights baked as XLA constants, 0 = passed as
+arguments), BENCH_ITERS (8).  Prints one JSON line per measurement.
+"""
+
+import json
+import os
+import sys
+import time
+
+import jax
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("BENCH_CACHE", "/tmp/jax_bench_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import jax.numpy as jnp
+import numpy as np
+
+from genpose_tpu.utils.benchmarking import derandomize_state
+
+
+def main():
+    from genpose_tpu.config import Config
+    from genpose_tpu.training.agent import PoseAgent
+
+    bs = int(os.environ.get("TRAIN_BATCH", "192"))
+    K = int(os.environ.get("TRAIN_K", "5"))
+    npts = int(os.environ.get("TRAIN_POINTS", "1024"))
+    iters = int(os.environ.get("BENCH_ITERS", "8"))
+    sampler = os.environ.get("SAMPLER", "ode_adaptive")
+    freeze = os.environ.get("FREEZE", "1") == "1"
+
+    cfg = Config(num_points=npts, batch_size=bs,
+                 sampler_mode=(sampler,), sampling_steps=500)
+    agent_s = PoseAgent(cfg, "score")
+    agent_e = PoseAgent(cfg, "energy")
+    agent_s.state = derandomize_state(agent_s.state)
+    agent_e.state = derandomize_state(agent_e.state, seed=43)
+    s_state = agent_s.state
+
+    rng = np.random.default_rng(0)
+    pts = jnp.asarray(rng.normal(size=(bs, npts, 3)).astype(np.float32) * 0.1)
+    center = jnp.asarray(rng.normal(size=(bs, 3)).astype(np.float32) * 0.01)
+    gt = jnp.asarray(rng.normal(size=(bs, agent_s.pose_dim)).astype(np.float32))
+    base = {
+        "zero_mean_pts": pts,
+        "zero_mean_gt_pose": gt,
+        "gt_pose": gt.at[:, -3:].add(center),
+        "pts_center": center,
+        "id": jnp.asarray(rng.integers(1, 7, size=(bs, 1)), jnp.int32),
+        "handle_visibility": jnp.ones((bs, 1), jnp.int32),
+    }
+
+    def sample_fn(sst, batch, k):
+        return agent_s._sample_impl(
+            sst, batch, k, repeat_num=K, sampler=sampler,
+            num_steps=cfg.sampling_steps)
+
+    # One program: `n` chained (sample -> energy train step) iterations.
+    # The state carry serializes the train steps; the 1e-12 loss bump on the
+    # input points serializes the sampling too.  With FREEZE=1 the teacher
+    # state is closed over (XLA constants, as train_energy runs after
+    # score_agent.freeze()); with FREEZE=0 it is a jit argument.
+    def chained_impl(e_state, sst, key, n):
+        def it(i, carry):
+            e_st, c = carry
+            batch = dict(base)
+            batch["zero_mean_pts"] = base["zero_mean_pts"] + 1e-12 * c
+            pred = sample_fn(sst, batch, jax.random.fold_in(key, 2 * i))
+            new_st, losses = agent_e._train_step_energy_impl(
+                e_st, batch, pred, jax.random.fold_in(key, 2 * i + 1))
+            return (new_st, jnp.asarray(losses["gf"], jnp.float32))
+        return jax.lax.fori_loop(0, n, it, (e_state, jnp.float32(0.0)))
+
+    def sample_only_impl(e_state, sst, key, n):
+        def it(i, carry):
+            e_st, c = carry
+            batch = dict(base)
+            batch["zero_mean_pts"] = base["zero_mean_pts"] + 1e-12 * c
+            pred = sample_fn(sst, batch, jax.random.fold_in(key, 2 * i))
+            return (e_st, jnp.asarray(jnp.sum(pred), jnp.float32))
+        return jax.lax.fori_loop(0, n, it, (e_state, jnp.float32(0.0)))
+
+    import functools as _ft
+    if freeze:
+        chained = jax.jit(_ft.partial(chained_impl, sst=s_state))
+        sample_only = jax.jit(_ft.partial(sample_only_impl, sst=s_state))
+        args = lambda key: (agent_e.state,)
+        kw = lambda key, n: {"key": key, "n": n}
+    else:
+        chained = jax.jit(chained_impl)
+        sample_only = jax.jit(sample_only_impl)
+        args = lambda key: (agent_e.state, s_state)
+        kw = lambda key, n: {"key": key, "n": n}
+
+    key = jax.random.PRNGKey(7)
+    results = {}
+    for name, fn in (("sample_only", sample_only), ("full_iter", chained)):
+        _, loss = fn(*args(key), **kw(key, jnp.int32(iters)))
+        np.asarray(loss)  # compile + warm sync
+        t0 = time.perf_counter()
+        _, loss = fn(*args(key), **kw(key, jnp.int32(iters)))
+        np.asarray(loss)
+        dt = (time.perf_counter() - t0) / iters
+        results[name] = dt
+        print(json.dumps({
+            "metric": f"energy_train_{name}_ms",
+            "value": round(1e3 * dt, 3),
+            "config": {"bs": bs, "K": K, "sampler": sampler,
+                       "teacher_frozen": freeze},
+        }), flush=True)
+
+    print(json.dumps({
+        "metric": "energy_train_samples_per_sec",
+        "value": round(bs / results["full_iter"], 1),
+        "config": {"bs": bs, "K": K, "sampler": sampler,
+                   "teacher_frozen": freeze},
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    main()
