@@ -167,9 +167,10 @@ def train_energy(cfg: Config, train_loader, val_loader, energy_agent: PoseAgent,
 
     # The candidate-generating score agent is a pinned pretrained teacher
     # for the whole run, so bake its weights into the sampling program as
-    # XLA constants (BN folds into matmuls, layouts pre-pack — measured
-    # ~19% on the serving pipeline, BASELINE.md r3).  sample() dispatches
-    # to the frozen program while the state object is unchanged.
+    # XLA constants (free; on-chip A/B at this config showed the win is
+    # within noise — the iteration is encoder-bound, BASELINE.md r3).
+    # sample() dispatches to the frozen program while the state object is
+    # unchanged.
     score_agent.freeze()
 
     for epoch in range(clock.epoch, cfg.n_epochs + 1):
@@ -177,9 +178,18 @@ def train_energy(cfg: Config, train_loader, val_loader, energy_agent: PoseAgent,
             key, k_aug, k_cand, k_loss = jax.random.split(key, 4)
             batch = process_batch(raw, cfg.pose_mode, k_aug, cfg.pts_aug)
             batch = shard_batch(mesh, batch)
-            pose_samples = score_agent.sample(
-                batch, k_cand, repeat_num=5, num_steps=cfg.sampling_steps)
-            losses = energy_agent.train_step_energy(batch, pose_samples, k_loss)
+            # The teacher's candidate sampling and the energy step encode the
+            # SAME augmented points, so the weight-independent geometry (FPS
+            # + ball query + grouped coords) is computed ONCE inside the
+            # sampling dispatch and reused by the energy step — the same
+            # sharing as the tracking frame pipeline.  Encoders without a
+            # geometry pass return None (the energy step then encodes from
+            # scratch, as before).
+            pose_samples, geom = score_agent.sample(
+                batch, k_cand, repeat_num=5, num_steps=cfg.sampling_steps,
+                return_geometry=True)
+            losses = energy_agent.train_step_energy(batch, pose_samples,
+                                                    k_loss, geometry=geom)
             clock.tick()
             if clock.step % 50 == 0:
                 logger.scalars({k: float(v) for k, v in losses.items()},

@@ -120,7 +120,7 @@ class PoseAgent:
         self._sample = jax.jit(
             self._sample_impl,
             static_argnames=("repeat_num", "sampler", "num_steps", "use_ema",
-                            "return_process"),
+                            "return_process", "return_geometry"),
         )
         self._get_energy = jax.jit(
             self._get_energy_impl, static_argnames=("use_ema",)
@@ -148,7 +148,7 @@ class PoseAgent:
         self._sample_frozen = jax.jit(
             _ft.partial(self._sample_impl, state),
             static_argnames=("repeat_num", "sampler", "num_steps", "use_ema",
-                             "return_process"),
+                             "return_process", "return_geometry"),
         )
         self._get_energy_frozen = jax.jit(
             _ft.partial(self._get_energy_impl, state),
@@ -382,9 +382,15 @@ class PoseAgent:
     # ------------------------------------------------------------------
 
     def _train_step_energy_impl(self, state: TrainState, batch, pose_samples,
-                                key: jax.Array):
+                                key: jax.Array, geometry=None):
         """pose_samples: [bs, K, pose_dim] candidates from the (frozen) score
-        model, translations in the ORIGINAL (un-centered) frame."""
+        model, translations in the ORIGINAL (un-centered) frame.
+
+        ``geometry``: optional precomputed weight-independent encoder
+        geometry of ``batch["zero_mean_pts"]`` (``pts_geometry``) — the
+        energy-with-ranking loop shares ONE geometry pass between the
+        teacher's candidate sampling and this step (the iteration is
+        encoder-bound; see BASELINE.md r3)."""
         k_dsm, k_t = jax.random.split(key)
         bs, K, _ = pose_samples.shape
 
@@ -406,7 +412,8 @@ class PoseAgent:
 
         def loss_fn(params):
             feat, new_stats = self._encode_and_score_fn(
-                params, state.batch_stats, batch["zero_mean_pts"], train=True
+                params, state.batch_stats, batch["zero_mean_pts"], train=True,
+                geometry=geometry,
             )
             dsm = self._gf_loss(params, new_stats, feat, k_dsm,
                                 batch["zero_mean_gt_pose"])
@@ -425,9 +432,9 @@ class PoseAgent:
         state = state.apply_gradients(grads, new_batch_stats=new_stats)
         return state, {"gf": dsm, "ranking": rank}
 
-    def train_step_energy(self, batch, pose_samples, key):
+    def train_step_energy(self, batch, pose_samples, key, geometry=None):
         self.state, losses = self._train_step_energy(
-            self.state, batch, pose_samples, key
+            self.state, batch, pose_samples, key, geometry
         )
         return losses
 
@@ -448,11 +455,20 @@ class PoseAgent:
         use_ema: bool = True,
         return_process: bool = False,
         geometry=None,
+        return_geometry: bool = False,
     ):
-        """Returns pred_pose [bs, repeat_num, pose_dim] (original frame)."""
+        """Returns pred_pose [bs, repeat_num, pose_dim] (original frame).
+
+        ``return_geometry=True`` additionally returns the weight-independent
+        encoder geometry of ``pts`` (computing it here if not given), so a
+        downstream energy pass over the SAME cloud — the energy-with-ranking
+        training loop — can reuse it without a second geometry pass or a
+        separate dispatch."""
         params = state.ema.shadow if use_ema else state.params
         pts = batch["zero_mean_pts"]
         bs = pts.shape[0]
+        if return_geometry and geometry is None:
+            geometry = self.pts_geometry(pts)
         feat, _ = self._encode_and_score_fn(params, state.batch_stats, pts,
                                             train=False, geometry=geometry)
         # fold K into the batch axis: [bs*K, ...]; the head projections are
@@ -509,11 +525,12 @@ class PoseAgent:
         res = res.reshape(bs, repeat_num, -1)
         if return_process:
             process = process.reshape(bs, repeat_num, process.shape[1], -1)
-            return process, res
-        return res
+            return (process, res, geometry) if return_geometry else (process, res)
+        return (res, geometry) if return_geometry else res
 
     def sample(self, batch, key, repeat_num=1, sampler=None, num_steps=None,
-               T0=None, init_x=None, use_ema=True, return_process=False):
+               T0=None, init_x=None, use_ema=True, return_process=False,
+               geometry=None, return_geometry=False):
         sampler = sampler or (self.cfg.sampler_mode[0] if self.cfg.sampler_mode
                               else "ode")
         if sampler == "edm" and num_steps is None:
@@ -523,12 +540,14 @@ class PoseAgent:
             return self._sample_frozen(
                 batch, key, repeat_num=repeat_num, sampler=sampler,
                 num_steps=num_steps, T0=T0, init_x=init_x, use_ema=use_ema,
-                return_process=return_process,
+                return_process=return_process, geometry=geometry,
+                return_geometry=return_geometry,
             )
         return self._sample(
             self.state, batch, key, repeat_num=repeat_num, sampler=sampler,
             num_steps=num_steps, T0=T0, init_x=init_x, use_ema=use_ema,
-            return_process=return_process,
+            return_process=return_process, geometry=geometry,
+            return_geometry=return_geometry,
         )
 
     # ------------------------------------------------------------------

@@ -157,6 +157,42 @@ def test_energy_agent_train_and_energy():
     assert pred.shape == (4, 2, 9)
 
 
+def test_energy_train_step_shared_geometry_is_exact():
+    """The energy-with-ranking loop's geometry sharing (teacher sample →
+    energy step) is bit-exact: sample(return_geometry=True) returns the same
+    candidates as a plain sample, and train_step_energy with the shared
+    geometry produces the same losses and parameters as encoding from
+    scratch."""
+    from genpose_tpu.training.agent import PoseAgent
+
+    cfg = _tiny_cfg()
+    score_agent = PoseAgent(cfg, posenet_mode="score", steps_per_epoch=4)
+    batch = _make_batch(cfg, jax.random.PRNGKey(20))
+
+    plain = score_agent.sample(batch, jax.random.PRNGKey(21), repeat_num=2,
+                               sampler="ode", num_steps=6)
+    pred, geom = score_agent.sample(batch, jax.random.PRNGKey(21),
+                                    repeat_num=2, sampler="ode", num_steps=6,
+                                    return_geometry=True)
+    np.testing.assert_array_equal(np.asarray(plain), np.asarray(pred))
+    assert geom is not None  # pointnet2 encoder has a geometry pass
+
+    a = PoseAgent(cfg, posenet_mode="energy", steps_per_epoch=4)
+    b = PoseAgent(cfg, posenet_mode="energy", steps_per_epoch=4)
+    # identical initial state; copied because the train step donates buffers
+    b.state = jax.tree.map(jnp.copy, a.state)
+
+    la = a.train_step_energy(batch, pred, jax.random.PRNGKey(22))
+    lb = b.train_step_energy(batch, pred, jax.random.PRNGKey(22),
+                             geometry=geom)
+    for k in la:
+        np.testing.assert_array_equal(np.asarray(la[k]), np.asarray(lb[k]))
+    jax.tree.map(
+        lambda x, y: np.testing.assert_array_equal(np.asarray(x),
+                                                   np.asarray(y)),
+        a.state.params, b.state.params)
+
+
 def test_agent_likelihood():
     from genpose_tpu.training.agent import PoseAgent
 

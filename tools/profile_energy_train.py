@@ -9,7 +9,9 @@ would cost ~20-35 ms of RPC each).
 
 Env knobs: TRAIN_BATCH (192), TRAIN_K (5), SAMPLER (ode_adaptive | ode),
 FREEZE (1 = teacher weights baked as XLA constants, 0 = passed as
-arguments), BENCH_ITERS (8).  Prints one JSON line per measurement.
+arguments), GEOM_SHARED (1 = one weight-independent geometry pass shared
+between teacher sampling and the energy step, 0 = each encodes from
+scratch), BENCH_ITERS (8).  Prints one JSON line per measurement.
 """
 
 import json
@@ -41,6 +43,7 @@ def main():
     iters = int(os.environ.get("BENCH_ITERS", "8"))
     sampler = os.environ.get("SAMPLER", "ode_adaptive")
     freeze = os.environ.get("FREEZE", "1") == "1"
+    geom_shared = os.environ.get("GEOM_SHARED", "0") == "1"
 
     cfg = Config(num_points=npts, batch_size=bs,
                  sampler_mode=(sampler,), sampling_steps=500)
@@ -66,7 +69,7 @@ def main():
     def sample_fn(sst, batch, k):
         return agent_s._sample_impl(
             sst, batch, k, repeat_num=K, sampler=sampler,
-            num_steps=cfg.sampling_steps)
+            num_steps=cfg.sampling_steps, return_geometry=geom_shared)
 
     # One program: `n` chained (sample -> energy train step) iterations.
     # The state carry serializes the train steps; the 1e-12 loss bump on the
@@ -78,9 +81,13 @@ def main():
             e_st, c = carry
             batch = dict(base)
             batch["zero_mean_pts"] = base["zero_mean_pts"] + 1e-12 * c
-            pred = sample_fn(sst, batch, jax.random.fold_in(key, 2 * i))
+            if geom_shared:
+                pred, geom = sample_fn(sst, batch, jax.random.fold_in(key, 2 * i))
+            else:
+                pred, geom = sample_fn(sst, batch, jax.random.fold_in(key, 2 * i)), None
             new_st, losses = agent_e._train_step_energy_impl(
-                e_st, batch, pred, jax.random.fold_in(key, 2 * i + 1))
+                e_st, batch, pred, jax.random.fold_in(key, 2 * i + 1),
+                geometry=geom)
             return (new_st, jnp.asarray(losses["gf"], jnp.float32))
         return jax.lax.fori_loop(0, n, it, (e_state, jnp.float32(0.0)))
 
@@ -90,6 +97,8 @@ def main():
             batch = dict(base)
             batch["zero_mean_pts"] = base["zero_mean_pts"] + 1e-12 * c
             pred = sample_fn(sst, batch, jax.random.fold_in(key, 2 * i))
+            if geom_shared:
+                pred = pred[0]
             return (e_st, jnp.asarray(jnp.sum(pred), jnp.float32))
         return jax.lax.fori_loop(0, n, it, (e_state, jnp.float32(0.0)))
 
@@ -119,14 +128,14 @@ def main():
             "metric": f"energy_train_{name}_ms",
             "value": round(1e3 * dt, 3),
             "config": {"bs": bs, "K": K, "sampler": sampler,
-                       "teacher_frozen": freeze},
+                       "teacher_frozen": freeze, "geom_shared": geom_shared},
         }), flush=True)
 
     print(json.dumps({
         "metric": "energy_train_samples_per_sec",
         "value": round(bs / results["full_iter"], 1),
         "config": {"bs": bs, "K": K, "sampler": sampler,
-                   "teacher_frozen": freeze},
+                   "teacher_frozen": freeze, "geom_shared": geom_shared},
     }), flush=True)
 
 
