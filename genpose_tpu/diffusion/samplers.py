@@ -364,6 +364,7 @@ def ode_likelihood(
     pose_mode: str = "rot_matrix",
     num_steps: int = 500,
     exact_divergence: bool = True,
+    epsilon: Optional[jnp.ndarray] = None,
 ):
     """PF-ODE log-likelihood (ref ``cond_ode_likelihood``, samplers.py:22-99).
 
@@ -375,11 +376,16 @@ def ode_likelihood(
     (``samplers.py:39``), which scales the divergence estimate by sigma^2 —
     a bug in an unused code path that we do not reproduce.)
 
+    ``epsilon``: optional fixed Hutchinson probe [bs, pose_dim] (used only
+    with ``exact_divergence=False``) — deterministic estimates for tests
+    and cross-implementation parity.
+
     x: [bs, pose_dim] poses (zero-centered translations).
     Returns (latent z [bs, d], log-likelihoods in bits [bs]).
     """
     bs, pose_dim = x.shape
-    epsilon = jax.random.normal(key, (bs, pose_dim))
+    if epsilon is None:
+        epsilon = jax.random.normal(key, (bs, pose_dim))
     basis = jnp.eye(pose_dim)
 
     ts = jnp.linspace(sde.eps, sde.T, num_steps)
