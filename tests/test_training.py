@@ -360,6 +360,43 @@ def test_sharded_energy_train_step_matches_unsharded():
     assert leaf.sharding.is_fully_replicated
 
 
+def test_energy_train_geometry_sharing_under_mesh():
+    """The energy-with-ranking loop's geometry sharing (teacher
+    ``sample(return_geometry=True)`` -> ``train_step_energy(geometry=...)``)
+    under the 8-device dp mesh: the sharded run with shared geometry matches
+    the single-device run exactly (same candidates, same losses)."""
+    from genpose_tpu.parallel.mesh import make_mesh, shard_batch
+    from genpose_tpu.training.agent import PoseAgent
+
+    assert jax.device_count() >= 8
+    mesh = make_mesh(8)
+    cfg = _tiny_cfg(batch_size=8)
+    batch = _make_batch(cfg, jax.random.PRNGKey(26), bs=8)
+
+    teacher_m = PoseAgent(cfg, "score", steps_per_epoch=4, mesh=mesh)
+    teacher_1 = PoseAgent(cfg, "score", steps_per_epoch=4)
+    sb = shard_batch(mesh, batch)
+    pred_m, geom_m = teacher_m.sample(
+        sb, jax.random.PRNGKey(27), repeat_num=3, sampler="ode", num_steps=4,
+        return_geometry=True)
+    pred_1, geom_1 = teacher_1.sample(
+        batch, jax.random.PRNGKey(27), repeat_num=3, sampler="ode",
+        num_steps=4, return_geometry=True)
+    np.testing.assert_allclose(np.asarray(pred_m), np.asarray(pred_1),
+                               rtol=1e-5, atol=1e-5)
+    assert geom_m is not None and geom_1 is not None
+
+    e_m = PoseAgent(cfg, "energy", steps_per_epoch=4, mesh=mesh)
+    e_1 = PoseAgent(cfg, "energy", steps_per_epoch=4)  # same cfg.seed init
+    l_m = e_m.train_step_energy(sb, pred_m, jax.random.PRNGKey(28),
+                                geometry=geom_m)
+    l_1 = e_1.train_step_energy(batch, pred_1, jax.random.PRNGKey(28),
+                                geometry=geom_1)
+    for k in ("gf", "ranking"):
+        assert np.isfinite(float(l_m[k]))
+        np.testing.assert_allclose(float(l_m[k]), float(l_1[k]), rtol=1e-4)
+
+
 def test_distill_closure_rebuilds_per_teacher():
     """train_step_distill keys its jitted closure by teacher identity
     (review regression: the first teacher's model/SDE was silently reused
