@@ -451,8 +451,13 @@ def edm_sampler(
     return_process: bool = False,
     T0: Optional[float] = None,
     init_x: Optional[jnp.ndarray] = None,
+    latents: Optional[jnp.ndarray] = None,
 ):
     """EDM Heun sampler (ref ``cond_edm_sampler``, samplers.py:230-290).
+
+    ``latents``: optional fixed unit-scale prior draw [bs, pose_dim]
+    (the reference's injectable ``prior_fn``) — deterministic runs for
+    tests and cross-implementation parity.
 
     ``T0``/``init_x`` pathway — DEVIATION (extension) vs the reference: its
     ``cond_edm_sampler`` has no truncated-start support (samplers.py:230),
@@ -478,7 +483,8 @@ def edm_sampler(
                 t0 >= 1.0, sigma_max,
                 sigma_min ** (1.0 - t0) * sigma_max ** t0)
     k_prior, k_scan = jax.random.split(key)
-    latents = jax.random.normal(k_prior, (batch_size, pose_dim))
+    if latents is None:
+        latents = jax.random.normal(k_prior, (batch_size, pose_dim))
 
     i = jnp.arange(num_steps, dtype=jnp.float32)
     t_steps = (

@@ -606,6 +606,91 @@ def test_ode_likelihood_parity_with_reference_scipy(ref):
     np.testing.assert_allclose(np.asarray(ll_e), ll_ref, rtol=0.05, atol=1.0)
 
 
+def test_edm_sampler_parity_with_reference(ref):
+    """The EDM Heun sampler end-to-end: the reference's ``cond_edm_sampler``
+    (``samplers.py:230-290``; deterministic at the default S_churn=0) vs our
+    ``edm_sampler`` with the SAME injected unit latents on the same ported
+    ``PoseDecoderNet``.  Certifies the Karras rho-ladder discretization, the
+    Euler + 2nd-order-correction arithmetic, the last-step guard, and the
+    rotation-normalize + pts_center post-processing.  (The reference
+    integrates the loop in float64; ours is float32 on-device — tolerance
+    1e-4.)"""
+    from genpose_tpu.diffusion.samplers import edm_sampler
+    from genpose_tpu.models.scorenet import PoseDecoderNet
+    from genpose_tpu.utils.torch_port import port_decoder
+
+    samplers_mod = import_reference("networks.gf_algorithms.samplers")
+    _, edm_marginal, _, _, _ = ref["sde"].init_sde("edm")
+    tnet = ref["scorenet"].PoseDecoderNet(
+        edm_marginal, 1.4148, "rot_matrix", "Rx_Ry_and_T")
+    _randomize(tnet, seed=43)
+    tnet.eval()
+
+    rng = np.random.RandomState(17)
+    bs = 3
+    pts_feat = (rng.randn(bs, 1024) * 0.1).astype(np.float32)
+    latents = rng.randn(bs, 9).astype(np.float32)
+    center = (rng.randn(bs, 3) * 0.05).astype(np.float32)
+
+    data = {"pts": torch.zeros((bs, 8, 3)),
+            "pts_feat": torch.from_numpy(pts_feat),
+            "pts_center": torch.from_numpy(center),
+            "sampled_pose": torch.zeros((bs, 9)),
+            "t": torch.zeros((bs, 1))}
+
+    def decoder(d):
+        """cond_edm_sampler expects ``decoder(data) -> (data, denoised)``
+        and feeds float64 poses and a scalar t (``samplers.py:246-254``) —
+        cast to the net's float32 [bs, 1] interface (the EDM path is dead
+        code in the reference; no released caller pins this glue)."""
+        t = torch.as_tensor(d["t"], dtype=torch.float32)
+        cast = {**d,
+                "sampled_pose": d["sampled_pose"].to(torch.float32),
+                "t": t.expand(bs).reshape(bs, 1) if t.dim() == 0
+                else t.reshape(bs, 1)}
+        with torch.no_grad():
+            return d, tnet(cast)
+
+    # The reference's post-processing CRASHES on its own: the stray
+    # ``x_next.unsqueeze(0)`` (samplers.py:278) makes the stacked xs 4-D
+    # [num_steps, 1, bs, d], so ``x = xs[-1]`` is [1, bs, d] and
+    # ``x[:, :-3]`` slices the instance axis instead of the channels
+    # (samplers.py:287) — EDM is dead code upstream, nothing ever ran it.
+    # Neutralize exactly that artifact with a scoped stack shim so the rest
+    # of the reference arithmetic runs as written.
+    real_stack = torch.stack
+
+    def _squeeze_stack(ts, dim=0):
+        out = real_stack(ts, dim)
+        return out.squeeze(1) if out.dim() == 4 and out.shape[1] == 1 else out
+
+    torch.stack = _squeeze_stack
+    try:
+        _, x_ref = samplers_mod.cond_edm_sampler(
+            decoder_model=decoder, data=data,
+            prior_fn=lambda shape: torch.from_numpy(latents.copy()),
+            num_steps=18, pose_mode="rot_matrix", device="cpu")
+    finally:
+        torch.stack = real_stack
+    x_ref = x_ref.numpy()
+
+    sde = init_sde("edm")
+    jnet = PoseDecoderNet(marginal_prob_fn=sde.marginal_prob,
+                          pose_mode="rot_matrix",
+                          regression_head="Rx_Ry_and_T")
+    dec_p = port_decoder(tnet.state_dict(), "", regression_head="Rx_Ry_and_T")
+    feat_j = jnp.asarray(pts_feat)
+
+    def denoise_fn(x, t):
+        return jnet.apply({"params": dec_p}, feat_j, x, t)
+
+    _, x_j = edm_sampler(
+        denoise_fn, jax.random.PRNGKey(2), bs, pose_mode="rot_matrix",
+        num_steps=18, pts_center=jnp.asarray(center),
+        latents=jnp.asarray(latents))
+    np.testing.assert_allclose(np.asarray(x_j), x_ref, rtol=1e-4, atol=1e-4)
+
+
 # ---------------------------------------------------------------------------
 # compute_mAP parity
 # ---------------------------------------------------------------------------
