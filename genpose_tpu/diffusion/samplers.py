@@ -326,13 +326,17 @@ def pc_sampler(
         x = block_normalize(x)
 
         # Predictor (Euler-Maruyama on the reverse SDE).
-        # NOTE deliberate fix vs the reference: ``samplers.py:146-149``
+        # NOTE deliberate fixes vs the reference: (1) ``samplers.py:146-149``
         # applies the reverse drift with a POSITIVE step
         # (``mean_x = x + (f - g^2 s) * dt``), the opposite sign of the
         # published score-SDE predictor (x + (g^2 s - f) * dt for a backward
         # step).  With the reference arithmetic the chain is expansive and
         # diverges even under an analytic Gaussian score; we use the correct
-        # sign.  The default eval path (ODE sampler) is unaffected.
+        # sign.  (2) the reference reuses the score computed BEFORE the
+        # Langevin move for its predictor (``samplers.py:129,148`` — stale
+        # after the corrector update); we re-evaluate at the corrected x,
+        # the standard PC formulation.  The default eval path (ODE sampler)
+        # is unaffected by both.
         drift, diffusion = sde.sde(t_vec)
         grad = score_fn(x, t_vec)
         rev_drift = diffusion**2 * grad - drift * x
