@@ -121,8 +121,13 @@ def train_score(cfg: Config, train_loader, val_loader, agent: PoseAgent,
                                       mini_batch_size=cfg.mini_bs)
                 process = None
                 if cfg.save_video:
+                    # the adaptive integrator has no fixed trajectory to
+                    # render; take the video frames from the fixed-step
+                    # PF-ODE instead of crashing the eval epoch
+                    vid_sampler = ("ode" if cfg.sampler_mode[:1]
+                                   == ("ode_adaptive",) else None)
                     process, pred = agent.sample(
-                        batch, k_s, repeat_num=1,
+                        batch, k_s, repeat_num=1, sampler=vid_sampler,
                         num_steps=cfg.sampling_steps, return_process=True)
                 else:
                     pred = agent.sample(batch, k_s, repeat_num=1,
@@ -166,12 +171,13 @@ def train_energy(cfg: Config, train_loader, val_loader, energy_agent: PoseAgent,
     last_saved = -1
 
     # The candidate-generating score agent is a pinned pretrained teacher
-    # for the whole run, so bake its weights into the sampling program as
-    # XLA constants (free; on-chip A/B at this config showed the win is
-    # within noise — the iteration is encoder-bound, BASELINE.md r3).
-    # sample() dispatches to the frozen program while the state object is
-    # unchanged.
-    score_agent.freeze()
+    # for the whole run.  It is deliberately NOT frozen (weights-as-
+    # constants): the on-chip A/B at this config showed the frozen win is
+    # within noise (the iteration is encoder-bound, BASELINE.md r3), while
+    # a weights-as-constants program cannot hit the persistent compile
+    # cache, so every trainer start/resume would repay a full server-side
+    # compile of the K=5 sampling program.  freeze() stays an eval/serving
+    # optimization (evaluation_single.py, serving.py).
 
     for epoch in range(clock.epoch, cfg.n_epochs + 1):
         for raw in train_loader:

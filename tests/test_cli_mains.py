@@ -89,6 +89,30 @@ def test_evaluation_tracking_main_artifacts(tree, tmp_path, monkeypatch):
     assert "mean_error" in text and "5d5cm_acc" in text
 
 
+def test_trainer_main_save_video_with_adaptive_sampler(tree, tmp_path,
+                                                       monkeypatch):
+    """--save_video under --sampler_mode ode_adaptive must not crash the
+    eval epoch: the adaptive integrator has no fixed trajectory, so the
+    video sample falls back to the fixed-step PF-ODE (regression: the
+    eval block used to hit ode_adaptive's return_process assert and kill
+    the run before the epoch checkpoint)."""
+    from genpose_tpu.runners import trainer
+
+    nocs, _, _ = tree
+    monkeypatch.chdir(tmp_path)
+    trainer.main(["--agent_type", "score", "--is_train", "true",
+                  "--data_path", nocs, "--n_epochs", "1", "--eval_freq", "1",
+                  "--mini_bs", "4", "--repeat_num", "2", "--num_workers", "1",
+                  "--log_dir", "vidmain", "--warmup", "1",
+                  "--save_video", "true", "--sampler_mode", "ode_adaptive"]
+                 + COMMON)
+    assert glob.glob(str(tmp_path / "results" / "ckpts" / "vidmain"
+                         / "ckpt_epoch*"))
+    # the fallback actually rendered trajectory videos
+    assert glob.glob(str(tmp_path / "results" / "logs" / "vidmain"
+                         / "video_epoch*" / "*.mp4"))
+
+
 def test_trainer_main_eval_then_results_path(tree, tmp_path, monkeypatch):
     from genpose_tpu.runners import trainer
 

@@ -70,6 +70,16 @@ T0 = 0.15
 _PRIOR = np.asarray(np.random.RandomState(31).randn(64, 9), np.float32)
 
 
+def _prior_rows(n):
+    """First n shared prior rows; fail loudly (instead of silently
+    truncating into a shape error deep in the sampler) if a synthetic frame
+    ever needs more rows than _PRIOR holds (padded_instances * K)."""
+    assert n <= len(_PRIOR), (
+        f"_PRIOR has {len(_PRIOR)} rows but the frame needs {n}; "
+        "enlarge _PRIOR")
+    return _PRIOR[:n]
+
+
 def _randomize(net, seed, scale=0.05):
     g = torch.Generator().manual_seed(seed)
     with torch.no_grad():
@@ -95,7 +105,7 @@ def _ported_agent(cfg, mode, tnet):
     )
     agent.sde = dataclasses.replace(
         agent.sde,
-        prior=lambda key, shape, T=None: jnp.asarray(_PRIOR[:shape[0]]))
+        prior=lambda key, shape, T=None: jnp.asarray(_prior_rows(shape[0])))
     return agent
 
 
@@ -104,6 +114,16 @@ def composed_tracking(tmp_path_factory):
     root = tmp_path_factory.mktemp("composed_tracking")
     cwd = os.getcwd()
     os.chdir(root)
+    # every torch / reference-module global patched below is recorded here
+    # and restored at teardown so later tests in the session see the real
+    # attributes (torch.Tensor.cuda, the reference runner's noise/metrics)
+    _missing = object()
+    patched = []
+
+    def _patch(obj, name, value):
+        patched.append((obj, name, getattr(obj, name, _missing)))
+        setattr(obj, name, value)
+
     try:
         nocs = make_synthetic_nocs_dir(
             str(root / "nocs"), n_camera_scenes=1, n_real_scenes=3, seed=23)
@@ -130,8 +150,8 @@ def composed_tracking(tmp_path_factory):
         tb.SummaryWriter = lambda *a, **k: None
         if rb.REF_ROOT not in sys.path:
             sys.path.insert(0, rb.REF_ROOT)
-        torch.cuda.empty_cache = lambda: None
-        torch.Tensor.cuda = lambda self, *a, **k: self
+        _patch(torch.cuda, "empty_cache", lambda: None)
+        _patch(torch.Tensor, "cuda", lambda self, *a, **k: self)
 
         def _cuda_factory(dtype):
             def make(*args):
@@ -140,9 +160,9 @@ def composed_tracking(tmp_path_factory):
                 return torch.empty(*args, dtype=dtype)
             return make
 
-        torch.cuda.FloatTensor = _cuda_factory(torch.float32)
-        torch.cuda.LongTensor = _cuda_factory(torch.int64)
-        torch.cuda.IntTensor = _cuda_factory(torch.int32)
+        _patch(torch.cuda, "FloatTensor", _cuda_factory(torch.float32))
+        _patch(torch.cuda, "LongTensor", _cuda_factory(torch.int64))
+        _patch(torch.cuda, "IntTensor", _cuda_factory(torch.int32))
 
         argv = sys.argv
         sys.argv = ["genpose", "--result_dir", ref_res,
@@ -182,16 +202,16 @@ def composed_tracking(tmp_path_factory):
 
         # determinism patches on the reference module: identity prior noise,
         # pinned additive prior rows, captured pooled sRTs and metrics
-        et.add_noise_to_RT = lambda x: x.clone()
+        _patch(et, "add_noise_to_RT", lambda x: x.clone())
         real_posenet = et.PoseNet
 
         def _det_posenet(cfg):
             agent = real_posenet(cfg)
             agent.net.prior_fn = lambda shape, T=None: torch.from_numpy(
-                _PRIOR[:shape[0]].copy())
+                _prior_rows(shape[0]).copy())
             return agent
 
-        et.PoseNet = _det_posenet
+        _patch(et, "PoseNet", _det_posenet)
 
         ref_srt, ref_metrics = [], {}
         real_rt_errors = et.compute_RT_errors
@@ -200,7 +220,7 @@ def composed_tracking(tmp_path_factory):
             ref_srt.append(np.array(sRT, float))
             return real_rt_errors(sRT, gt, cat_id, hv, names)
 
-        et.compute_RT_errors = _rec_rt
+        _patch(et, "compute_RT_errors", _rec_rt)
         real_gm = et.get_metrics
 
         def _rec_gm(errors):
@@ -208,7 +228,7 @@ def composed_tracking(tmp_path_factory):
             ref_metrics.update(m)
             return m
 
-        et.get_metrics = _rec_gm
+        _patch(et, "get_metrics", _rec_gm)
 
         # ---- run the reference composed tracking driver ----
         et.main_tracking(tracking=True, T0=T0)
@@ -254,6 +274,14 @@ def composed_tracking(tmp_path_factory):
             "ref_metrics": ref_metrics, "our_metrics": our_metrics,
         }
     finally:
+        for obj, name, orig in reversed(patched):
+            if orig is _missing:
+                try:
+                    delattr(obj, name)
+                except AttributeError:
+                    pass
+            else:
+                setattr(obj, name, orig)
         os.chdir(cwd)
 
 
