@@ -1,6 +1,6 @@
 """Energy/ranking TRAIN-step profiler (ref ``trainer.py:325-388``).
 
-Times the full energy-with-ranking training iteration — frozen score
+Times the full energy-with-ranking training iteration — the pinned score
 teacher generates K candidates (adaptive RK45 or fixed-step ODE), then the
 energy agent runs DSM + O(K^2) ranking + update — as ONE jitted program
 with the state carried through a fori_loop chain (same ~1%-stable
@@ -8,8 +8,10 @@ technique as the other profilers; per-iteration dispatch over the tunnel
 would cost ~20-35 ms of RPC each).
 
 Env knobs: TRAIN_BATCH (192), TRAIN_K (5), SAMPLER (ode_adaptive | ode),
-FREEZE (1 = teacher weights baked as XLA constants, 0 = passed as
-arguments), GEOM_SHARED (1 = one weight-independent geometry pass shared
+FREEZE (0 = teacher weights passed as jit arguments — the train_energy
+production mode, compile-cache-eligible; 1 = baked as XLA constants; the
+on-chip A/B showed the difference is within noise, BASELINE.md r3),
+GEOM_SHARED (1 = one weight-independent geometry pass shared
 between teacher sampling and the energy step, 0 = each encodes from
 scratch), BENCH_ITERS (8).  Prints one JSON line per measurement.
 """
@@ -42,7 +44,7 @@ def main():
     npts = int(os.environ.get("TRAIN_POINTS", "1024"))
     iters = int(os.environ.get("BENCH_ITERS", "8"))
     sampler = os.environ.get("SAMPLER", "ode_adaptive")
-    freeze = os.environ.get("FREEZE", "1") == "1"
+    freeze = os.environ.get("FREEZE", "0") == "1"
     geom_shared = os.environ.get("GEOM_SHARED", "0") == "1"
 
     cfg = Config(num_points=npts, batch_size=bs,
@@ -73,9 +75,9 @@ def main():
 
     # One program: `n` chained (sample -> energy train step) iterations.
     # The state carry serializes the train steps; the 1e-12 loss bump on the
-    # input points serializes the sampling too.  With FREEZE=1 the teacher
-    # state is closed over (XLA constants, as train_energy runs after
-    # score_agent.freeze()); with FREEZE=0 it is a jit argument.
+    # input points serializes the sampling too.  With FREEZE=0 (default,
+    # the train_energy production mode) the teacher state is a jit
+    # argument; FREEZE=1 closes over it (XLA constants) for the A/B.
     def chained_impl(e_state, sst, key, n):
         def it(i, carry):
             e_st, c = carry
