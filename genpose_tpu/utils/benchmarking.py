@@ -34,8 +34,11 @@ def derandomize_state(state, scale: float = 0.01, seed: int = 42):
     leaves = [l + scale * jax.random.normal(k, l.shape, l.dtype)
               for l, k in zip(leaves, keys)]
     params = jax.tree.unflatten(treedef, leaves)
+    # the shadow must be a COPY, not an alias: a donating train step
+    # (donate_argnums=(0,)) would otherwise donate the same buffer twice
+    shadow = jax.tree.map(jnp.copy, params)
     return state.replace(params=params,
-                         ema=state.ema.replace(shadow=params))
+                         ema=state.ema.replace(shadow=shadow))
 
 
 def time_chain(fn, pts, key, iters: int, carrier_shape) -> float:

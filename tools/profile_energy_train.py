@@ -13,7 +13,13 @@ production mode, compile-cache-eligible; 1 = baked as XLA constants; the
 on-chip A/B showed the difference is within noise, BASELINE.md r3),
 GEOM_SHARED (1 = one weight-independent geometry pass shared
 between teacher sampling and the energy step, 0 = each encodes from
-scratch), BENCH_ITERS (8).  Prints one JSON line per measurement.
+scratch), DISPATCH (fused = one fori_loop program, the ~1%-stable default;
+two = the production trainer's ACTUAL dispatch structure — agent.sample()
+then agent.train_step_energy() as separate jit calls per iteration, chained
+through a data dependence.  GEOM_SHARED only matters here: inside one fused
+program XLA CSEs the duplicate geometry either way, so the fused A/B is a
+no-op by construction), BENCH_ITERS (8).  Prints one JSON line per
+measurement.
 """
 
 import json
@@ -46,6 +52,8 @@ def main():
     sampler = os.environ.get("SAMPLER", "ode_adaptive")
     freeze = os.environ.get("FREEZE", "0") == "1"
     geom_shared = os.environ.get("GEOM_SHARED", "0") == "1"
+    dispatch = os.environ.get("DISPATCH", "fused")
+    assert dispatch in ("fused", "two"), dispatch
 
     cfg = Config(num_points=npts, batch_size=bs,
                  sampler_mode=(sampler,), sampling_steps=500)
@@ -67,6 +75,49 @@ def main():
         "id": jnp.asarray(rng.integers(1, 7, size=(bs, 1)), jnp.int32),
         "handle_visibility": jnp.ones((bs, 1), jnp.int32),
     }
+
+    if dispatch == "two":
+        # The production train_energy loop verbatim: two jit dispatches per
+        # iteration (teacher sample, then energy step), serialized by feeding
+        # the previous iteration's loss into the next batch.  Both arms pay
+        # the same 2 RPCs/iter over the tunnel, so the shared-vs-unshared
+        # delta isolates the energy step's duplicated geometry pass.
+        def one_iter(i, carry):
+            batch = dict(base)
+            batch["zero_mean_pts"] = base["zero_mean_pts"] + 1e-12 * carry
+            k1 = jax.random.fold_in(jax.random.PRNGKey(7), 2 * i)
+            k2 = jax.random.fold_in(jax.random.PRNGKey(7), 2 * i + 1)
+            if geom_shared:
+                pred, geom = agent_s.sample(
+                    batch, k1, repeat_num=K, sampler=sampler,
+                    num_steps=cfg.sampling_steps, return_geometry=True)
+            else:
+                pred = agent_s.sample(batch, k1, repeat_num=K, sampler=sampler,
+                                      num_steps=cfg.sampling_steps)
+                geom = None
+            losses = agent_e.train_step_energy(batch, pred, k2, geometry=geom)
+            return jnp.asarray(losses["gf"], jnp.float32)
+
+        carry = one_iter(0, jnp.float32(0.0))
+        np.asarray(carry)  # compile + warm sync
+        t0 = time.perf_counter()
+        for i in range(1, iters + 1):
+            carry = one_iter(i, carry)
+        np.asarray(carry)
+        dt = (time.perf_counter() - t0) / iters
+        print(json.dumps({
+            "metric": "energy_train_full_iter_ms",
+            "value": round(1e3 * dt, 3),
+            "config": {"bs": bs, "K": K, "sampler": sampler,
+                       "dispatch": "two", "geom_shared": geom_shared},
+        }), flush=True)
+        print(json.dumps({
+            "metric": "energy_train_samples_per_sec",
+            "value": round(bs / dt, 1),
+            "config": {"bs": bs, "K": K, "sampler": sampler,
+                       "dispatch": "two", "geom_shared": geom_shared},
+        }), flush=True)
+        return
 
     def sample_fn(sst, batch, k):
         return agent_s._sample_impl(
