@@ -474,6 +474,9 @@ def edm_sampler(
     prior noise at ``sigma_start`` ADDED, exactly as in ``ode_sampler``.
     """
     pose_dim = get_pose_dim(pose_mode)
+    # the rho-ladder interpolates over num_steps-1 intervals; a single step
+    # would divide 0/0 into a NaN ladder with no error raised
+    assert num_steps >= 2, f"edm_sampler needs num_steps >= 2, got {num_steps}"
     if pts_center is None:
         pts_center = jnp.zeros((batch_size, 3))
     sigma_start = sigma_max

@@ -124,8 +124,9 @@ def train_score(cfg: Config, train_loader, val_loader, agent: PoseAgent,
                     # the adaptive integrator has no fixed trajectory to
                     # render; take the video frames from the fixed-step
                     # PF-ODE instead of crashing the eval epoch
-                    vid_sampler = ("ode" if cfg.sampler_mode[:1]
-                                   == ("ode_adaptive",) else None)
+                    vid_sampler = ("ode" if (cfg.sampler_mode and
+                                   cfg.sampler_mode[0] == "ode_adaptive")
+                                   else None)
                     process, pred = agent.sample(
                         batch, k_s, repeat_num=1, sampler=vid_sampler,
                         num_steps=cfg.sampling_steps, return_process=True)

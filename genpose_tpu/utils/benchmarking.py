@@ -41,6 +41,14 @@ def derandomize_state(state, scale: float = 0.01, seed: int = 42):
                          ema=state.ema.replace(shadow=shadow))
 
 
+def carrier(leaves) -> jnp.ndarray:
+    """Reduce an arbitrary pytree of stage outputs to a shape-(1,) f32
+    carrier for ``time_chain``'s data-dependence chain (f32 regardless of
+    the stage's compute dtype, so bf16 stages chain identically)."""
+    return sum(jnp.sum(jnp.asarray(l, jnp.float32))
+               for l in jax.tree.leaves(leaves)) * jnp.ones((1,))
+
+
 def time_chain(fn, pts, key, iters: int, carrier_shape) -> float:
     """Seconds/iteration for ``iters`` copies of ``fn(pts, key_i)`` run
     inside ONE jitted fori_loop, serialized by a data dependence and synced

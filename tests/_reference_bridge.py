@@ -214,15 +214,31 @@ def install_stubs() -> None:
     if not hasattr(ipdb, "set_trace"):
         ipdb.set_trace = lambda *a, **k: None
 
+    tb = _ensure("tensorboardX")
+    if not hasattr(tb, "SummaryWriter"):
+        tb.SummaryWriter = lambda *a, **k: None
+
     _make_pointnet2_cuda()
-    if not torch.cuda.is_available():
-        # the reference wrappers allocate outputs via torch.cuda.* factories
-        # (``pointnet2_utils.py:26-27`` etc.); on CPU torch route them to
-        # host tensors so the stubbed extension can fill them
-        torch.cuda.FloatTensor = (
-            lambda *sizes: torch.empty(*sizes, dtype=torch.float32))
-        torch.cuda.IntTensor = (
-            lambda *sizes: torch.empty(*sizes, dtype=torch.int32))
+    if not torch.cuda.is_available() and not getattr(
+            torch.cuda, "_gp_tensor_shims", False):
+        # The reference allocates device tensors via the legacy torch.cuda.*
+        # factories, called with BOTH bare sizes (``pointnet2_utils.py:26-27``
+        # etc.) and arrays (``evaluation_single.py:399``) — dispatch on the
+        # argument.  Idempotent (marker flag): install_stubs runs again via
+        # import_reference inside the composed fixtures and must not clobber.
+        import numpy as np
+
+        def _cuda_factory(dtype):
+            def make(*args):
+                if len(args) == 1 and not isinstance(args[0], int):
+                    return torch.as_tensor(np.asarray(args[0]), dtype=dtype)
+                return torch.empty(*args, dtype=dtype)
+            return make
+
+        torch.cuda.FloatTensor = _cuda_factory(torch.float32)
+        torch.cuda.LongTensor = _cuda_factory(torch.int64)
+        torch.cuda.IntTensor = _cuda_factory(torch.int32)
+        torch.cuda._gp_tensor_shims = True
 
     tv = _ensure("torchvision")
     tvu = _ensure("torchvision.utils")
@@ -233,6 +249,132 @@ def install_stubs() -> None:
     p3d = _ensure("pytorch3d")
     p3d.io = _ensure("pytorch3d.io")
     p3d.transforms = _make_transforms()
+
+
+# ---------------------------------------------------------------------------
+# Shared scaffolding for the COMPOSED golden tests (test_composed_pipeline /
+# test_composed_tracking): runner-level cuda shims, deterministic weight
+# randomization, reference-net construction, and weight-ported flax agents.
+# One copy here so the two fixtures cannot drift (they already had: one got
+# the record-and-restore patcher and the loud prior-size guard, the other
+# kept leaking patches and silently truncating).
+# ---------------------------------------------------------------------------
+
+
+class Patcher:
+    """Record-and-restore attribute patching for module-scope fixtures.
+
+    ``patch = Patcher(); patch(obj, "name", value); ...; patch.restore()`` —
+    every patched torch / reference-module global is restored at teardown so
+    later tests in the session see the real attributes."""
+
+    _MISSING = object()
+
+    def __init__(self):
+        self._patched = []
+
+    def __call__(self, obj, name, value):
+        self._patched.append((obj, name, getattr(obj, name, self._MISSING)))
+        setattr(obj, name, value)
+
+    def restore(self):
+        for obj, name, orig in reversed(self._patched):
+            if orig is self._MISSING:
+                try:
+                    delattr(obj, name)
+                except AttributeError:
+                    pass
+            else:
+                setattr(obj, name, orig)
+        self._patched.clear()
+
+
+def patch_runner_cuda(patch) -> None:
+    """Restorable CPU shims for the reference RUNNERS' extra cuda usage:
+    ``torch.cuda.empty_cache`` and ``Tensor.cuda()``.  (The legacy
+    ``torch.cuda.*Tensor`` constructors are already shimmed session-wide by
+    ``install_stubs`` — the parity tests need them too.)"""
+    import torch
+
+    patch(torch.cuda, "empty_cache", lambda: None)
+    patch(torch.Tensor, "cuda", lambda self, *a, **k: self)
+
+
+def randomize_net(net, seed: int, scale: float = 0.05) -> None:
+    """Deterministically randomize every parameter AND the BatchNorm running
+    stats (zero-init heads would otherwise make both sides output zeros and
+    the parity vacuous)."""
+    import torch
+
+    g = torch.Generator().manual_seed(seed)
+    with torch.no_grad():
+        for p in net.parameters():
+            p.copy_(torch.randn(p.shape, generator=g) * scale)
+        for m in net.modules():
+            if isinstance(m, (torch.nn.BatchNorm1d, torch.nn.BatchNorm2d)):
+                m.running_mean.copy_(
+                    torch.randn(m.running_mean.shape, generator=g) * 0.05)
+                m.running_var.copy_(
+                    1.0 + 0.1 * torch.rand(m.running_var.shape, generator=g))
+
+
+def make_gf_net(mode: str, seed: int, num_points: int, hidden_dim: int = 128):
+    """Build + randomize a reference ``GFObjectPose`` (VE SDE, pointnet2
+    light, Rx_Ry_and_T head) on CPU torch, in eval mode."""
+    mods = import_reference("networks.posenet", "networks.gf_algorithms.sde")
+    posenet_mod, sde_mod = mods
+    prior_fn, marginal_fn, sde_fn, eps, T = sde_mod.init_sde("ve")
+    cfgn = types.SimpleNamespace(
+        device="cpu", pts_encoder="pointnet2", pose_mode="rot_matrix",
+        regression_head="Rx_Ry_and_T", posenet_mode=mode,
+        energy_mode="IP", s_theta_mode="score", norm_energy="identical",
+        num_points=num_points, sampling_steps=None, sde_mode="ve",
+        hidden_dim=hidden_dim, pointnet2_params="light")
+    net = posenet_mod.GFObjectPose(cfgn, prior_fn, marginal_fn, sde_fn,
+                                   eps, T)
+    randomize_net(net, seed)
+    net.eval()
+    return net
+
+
+def make_prior_rows(prior: "np.ndarray"):
+    """Return ``rows(n) -> prior[:n]`` that fails LOUDLY (instead of silently
+    truncating into a shape error deep in the sampler) if a frame/batch ever
+    needs more rows than the fixed prior table holds."""
+
+    def rows(n):
+        assert n <= len(prior), (
+            f"fixed prior table has {len(prior)} rows but the run needs {n}; "
+            "enlarge it")
+        return prior[:n]
+
+    return rows
+
+
+def ported_flax_agent(cfg, mode: str, tnet, prior_rows):
+    """A ``genpose_tpu`` PoseAgent with ``tnet``'s weights ported in (live +
+    EMA shadow) and the SDE's additive prior draw pinned to the shared fixed
+    rows (``prior_rows(n)``) for cross-implementation determinism."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from genpose_tpu.training.agent import PoseAgent
+    from genpose_tpu.utils.torch_port import port_gf_state_dict
+
+    agent = PoseAgent(cfg, mode)
+    variables = port_gf_state_dict(
+        tnet.state_dict(), agent.state.variables, pts_encoder="pointnet2",
+        regression_head="Rx_Ry_and_T")
+    agent.state = agent.state.replace(
+        params=variables["params"],
+        batch_stats=variables.get("batch_stats", agent.state.batch_stats),
+        ema=agent.state.ema.replace(shadow=variables["params"]),
+    )
+    agent.sde = dataclasses.replace(
+        agent.sde,
+        prior=lambda key, shape, T=None: jnp.asarray(prior_rows(shape[0])))
+    return agent
 
 
 def import_reference(*names: str):

@@ -22,20 +22,15 @@ the 1-degree / 0.5-cm threshold grid, so the AP tables agree exactly.
 
 from __future__ import annotations
 
-import dataclasses
 import importlib
 import os
 import pickle
 import sys
-import types
 
 import numpy as np
 import pytest
 
 torch = pytest.importorskip("torch")
-
-import jax
-import jax.numpy as jnp
 
 import _reference_bridge as rb
 
@@ -45,26 +40,11 @@ from genpose_tpu.data.synthetic import (
     make_synthetic_nocs_dir,
 )
 from genpose_tpu.runners import evaluation_single as ours
-from genpose_tpu.training.agent import PoseAgent
-from genpose_tpu.utils.torch_port import port_gf_state_dict
 
 N_PTS = 64
 K = 3
 BS = 8
 T0 = 0.55
-
-
-def _randomize(net, seed, scale=0.05):
-    g = torch.Generator().manual_seed(seed)
-    with torch.no_grad():
-        for p in net.parameters():
-            p.copy_(torch.randn(p.shape, generator=g) * scale)
-        for m in net.modules():
-            if isinstance(m, (torch.nn.BatchNorm1d, torch.nn.BatchNorm2d)):
-                m.running_mean.copy_(
-                    torch.randn(m.running_mean.shape, generator=g) * 0.05)
-                m.running_var.copy_(
-                    1.0 + 0.1 * torch.rand(m.running_var.shape, generator=g))
 
 
 # Fixed prior draws: both sides iterate categories/batches/instances in the
@@ -73,23 +53,7 @@ def _randomize(net, seed, scale=0.05):
 # rows past n_real*K).  Nonzero so the K hypotheses are DISTINCT and the
 # energy sort / pooling see real work.
 _PRIOR = np.asarray(np.random.RandomState(9).randn(BS * K, 9), np.float32)
-
-
-def _ported_agent(cfg, mode, tnet):
-    agent = PoseAgent(cfg, mode)
-    variables = port_gf_state_dict(
-        tnet.state_dict(), agent.state.variables, pts_encoder="pointnet2",
-        regression_head="Rx_Ry_and_T")
-    agent.state = agent.state.replace(
-        params=variables["params"],
-        batch_stats=variables.get("batch_stats", agent.state.batch_stats),
-        ema=agent.state.ema.replace(shadow=variables["params"]),
-    )
-    # deterministic: fixed additive prior draw (same rows on the torch side)
-    agent.sde = dataclasses.replace(
-        agent.sde,
-        prior=lambda key, shape, T=None: jnp.asarray(_PRIOR[:shape[0]]))
-    return agent
+_prior_rows = rb.make_prior_rows(_PRIOR)
 
 
 def _near_gt_results(with_energy_path):
@@ -122,6 +86,7 @@ def composed(tmp_path_factory):
     root = tmp_path_factory.mktemp("composed")
     cwd = os.getcwd()
     os.chdir(root)
+    patch = rb.Patcher()
     try:
         nocs = make_synthetic_nocs_dir(
             str(root / "nocs"), n_camera_scenes=1, n_real_scenes=2, seed=17)
@@ -143,27 +108,9 @@ def composed(tmp_path_factory):
 
         # ---- import the reference runner with a matching module cfg ----
         rb.install_stubs()
-        tb = sys.modules.setdefault("tensorboardX",
-                                    types.ModuleType("tensorboardX"))
-        tb.SummaryWriter = lambda *a, **k: None
         if rb.REF_ROOT not in sys.path:
             sys.path.insert(0, rb.REF_ROOT)
-        torch.cuda.empty_cache = lambda: None
-        torch.Tensor.cuda = lambda self, *a, **k: self
-
-        # the runner builds device tensors via the legacy torch.cuda.*
-        # constructors from BOTH arrays (evaluation_single.py:399) and sizes
-        # (pointnet2 wrappers) — dispatch on the argument
-        def _cuda_factory(dtype):
-            def make(*args):
-                if len(args) == 1 and not isinstance(args[0], int):
-                    return torch.as_tensor(np.asarray(args[0]), dtype=dtype)
-                return torch.empty(*args, dtype=dtype)
-            return make
-
-        torch.cuda.FloatTensor = _cuda_factory(torch.float32)
-        torch.cuda.LongTensor = _cuda_factory(torch.int64)
-        torch.cuda.IntTensor = _cuda_factory(torch.int32)
+        rb.patch_runner_cuda(patch)
 
         argv = sys.argv
         sys.argv = [
@@ -181,25 +128,8 @@ def composed(tmp_path_factory):
             sys.argv = argv
 
         # ---- shared randomized weights, saved as reference checkpoints ----
-        posenet_mod = importlib.import_module("networks.posenet")
-        sde_mod = importlib.import_module("networks.gf_algorithms.sde")
-        prior_fn, marginal_fn, sde_fn, eps, T = sde_mod.init_sde("ve")
-
-        def make_tnet(mode, seed):
-            cfgn = types.SimpleNamespace(
-                device="cpu", pts_encoder="pointnet2", pose_mode="rot_matrix",
-                regression_head="Rx_Ry_and_T", posenet_mode=mode,
-                energy_mode="IP", s_theta_mode="score",
-                norm_energy="identical", num_points=N_PTS,
-                sampling_steps=None, sde_mode="ve", hidden_dim=128,
-                pointnet2_params="light")
-            net = posenet_mod.GFObjectPose(cfgn, prior_fn, marginal_fn,
-                                           sde_fn, eps, T)
-            _randomize(net, seed)
-            net.eval()
-            return net
-
-        tscore, tenergy = make_tnet("score", 41), make_tnet("energy", 43)
+        tscore = rb.make_gf_net("score", 41, N_PTS)
+        tenergy = rb.make_gf_net("energy", 43, N_PTS)
         os.makedirs("results/ckpts", exist_ok=True)
         torch.save({"model_state_dict": tscore.state_dict()},
                    "results/ckpts/ref_score.pth")
@@ -212,10 +142,10 @@ def composed(tmp_path_factory):
         def _det_posenet(cfg):
             agent = real_posenet(cfg)
             agent.net.prior_fn = lambda shape, T=None: torch.from_numpy(
-                _PRIOR[:shape[0]].copy())
+                _prior_rows(shape[0]).copy())
             return agent
 
-        es.PoseNet = _det_posenet
+        patch(es, "PoseNet", _det_posenet)
 
         # ---- run the reference's composed stages 2-4 ----
         es.inference_pose(seg_path, es.inference_res_dir, es.cfg.pose_mode,
@@ -226,8 +156,10 @@ def composed(tmp_path_factory):
 
         # ---- run OUR composed stages 2-4 on the same seg pkl + weights ----
         our_dir = str(root / "ours_infer")
-        score_agent = _ported_agent(our_cfg, "score", tscore)
-        energy_agent = _ported_agent(our_cfg, "energy", tenergy)
+        score_agent = rb.ported_flax_agent(our_cfg, "score", tscore,
+                                            _prior_rows)
+        energy_agent = rb.ported_flax_agent(our_cfg, "energy", tenergy,
+                                            _prior_rows)
         ours.inference_pose(our_cfg, score_agent, seg_path, our_dir)
         ours.inference_energy(our_cfg, energy_agent, our_dir)
         ours.evaluate(our_cfg, our_dir, "results_with_energy.pkl")
@@ -246,6 +178,7 @@ def composed(tmp_path_factory):
 
         yield {"ref_dir": ref_dir, "our_dir": our_dir, "cfg": our_cfg}
     finally:
+        patch.restore()
         os.chdir(cwd)
 
 

@@ -36,18 +36,14 @@ tolerances, as in the single-frame composed test.
 
 from __future__ import annotations
 
-import dataclasses
 import importlib
 import os
 import sys
-import types
 
 import numpy as np
 import pytest
 
 torch = pytest.importorskip("torch")
-
-import jax.numpy as jnp
 
 import _reference_bridge as rb
 
@@ -57,8 +53,6 @@ from genpose_tpu.data.synthetic import (
     make_synthetic_nocs_dir,
 )
 from genpose_tpu.runners import evaluation_tracking as ours
-from genpose_tpu.training.agent import PoseAgent
-from genpose_tpu.utils.torch_port import port_gf_state_dict
 
 N_PTS = 256
 IMG_SIZE = 16
@@ -68,45 +62,7 @@ T0 = 0.15
 # Fixed additive prior rows shared by both sides (instance-major fold,
 # row = instance * K + k; our padding only appends rows past n_real * K).
 _PRIOR = np.asarray(np.random.RandomState(31).randn(64, 9), np.float32)
-
-
-def _prior_rows(n):
-    """First n shared prior rows; fail loudly (instead of silently
-    truncating into a shape error deep in the sampler) if a synthetic frame
-    ever needs more rows than _PRIOR holds (padded_instances * K)."""
-    assert n <= len(_PRIOR), (
-        f"_PRIOR has {len(_PRIOR)} rows but the frame needs {n}; "
-        "enlarge _PRIOR")
-    return _PRIOR[:n]
-
-
-def _randomize(net, seed, scale=0.05):
-    g = torch.Generator().manual_seed(seed)
-    with torch.no_grad():
-        for p in net.parameters():
-            p.copy_(torch.randn(p.shape, generator=g) * scale)
-        for m in net.modules():
-            if isinstance(m, (torch.nn.BatchNorm1d, torch.nn.BatchNorm2d)):
-                m.running_mean.copy_(
-                    torch.randn(m.running_mean.shape, generator=g) * 0.05)
-                m.running_var.copy_(
-                    1.0 + 0.1 * torch.rand(m.running_var.shape, generator=g))
-
-
-def _ported_agent(cfg, mode, tnet):
-    agent = PoseAgent(cfg, mode)
-    variables = port_gf_state_dict(
-        tnet.state_dict(), agent.state.variables, pts_encoder="pointnet2",
-        regression_head="Rx_Ry_and_T")
-    agent.state = agent.state.replace(
-        params=variables["params"],
-        batch_stats=variables.get("batch_stats", agent.state.batch_stats),
-        ema=agent.state.ema.replace(shadow=variables["params"]),
-    )
-    agent.sde = dataclasses.replace(
-        agent.sde,
-        prior=lambda key, shape, T=None: jnp.asarray(_prior_rows(shape[0])))
-    return agent
+_prior_rows = rb.make_prior_rows(_PRIOR)
 
 
 @pytest.fixture(scope="module")
@@ -114,16 +70,10 @@ def composed_tracking(tmp_path_factory):
     root = tmp_path_factory.mktemp("composed_tracking")
     cwd = os.getcwd()
     os.chdir(root)
-    # every torch / reference-module global patched below is recorded here
-    # and restored at teardown so later tests in the session see the real
+    # every torch / reference-module global patched below is recorded and
+    # restored at teardown so later tests in the session see the real
     # attributes (torch.Tensor.cuda, the reference runner's noise/metrics)
-    _missing = object()
-    patched = []
-
-    def _patch(obj, name, value):
-        patched.append((obj, name, getattr(obj, name, _missing)))
-        setattr(obj, name, value)
-
+    patch = rb.Patcher()
     try:
         nocs = make_synthetic_nocs_dir(
             str(root / "nocs"), n_camera_scenes=1, n_real_scenes=3, seed=23)
@@ -145,24 +95,9 @@ def composed_tracking(tmp_path_factory):
 
         # ---- import the reference tracking runner with a matching cfg ----
         rb.install_stubs()
-        tb = sys.modules.setdefault("tensorboardX",
-                                    types.ModuleType("tensorboardX"))
-        tb.SummaryWriter = lambda *a, **k: None
         if rb.REF_ROOT not in sys.path:
             sys.path.insert(0, rb.REF_ROOT)
-        _patch(torch.cuda, "empty_cache", lambda: None)
-        _patch(torch.Tensor, "cuda", lambda self, *a, **k: self)
-
-        def _cuda_factory(dtype):
-            def make(*args):
-                if len(args) == 1 and not isinstance(args[0], int):
-                    return torch.as_tensor(np.asarray(args[0]), dtype=dtype)
-                return torch.empty(*args, dtype=dtype)
-            return make
-
-        _patch(torch.cuda, "FloatTensor", _cuda_factory(torch.float32))
-        _patch(torch.cuda, "LongTensor", _cuda_factory(torch.int64))
-        _patch(torch.cuda, "IntTensor", _cuda_factory(torch.int32))
+        rb.patch_runner_cuda(patch)
 
         argv = sys.argv
         sys.argv = ["genpose", "--result_dir", ref_res,
@@ -175,25 +110,8 @@ def composed_tracking(tmp_path_factory):
             sys.argv = argv
 
         # ---- shared randomized weights saved as reference checkpoints ----
-        posenet_mod = importlib.import_module("networks.posenet")
-        sde_mod = importlib.import_module("networks.gf_algorithms.sde")
-        prior_fn, marginal_fn, sde_fn, eps, T = sde_mod.init_sde("ve")
-
-        def make_tnet(mode, seed):
-            cfgn = types.SimpleNamespace(
-                device="cpu", pts_encoder="pointnet2", pose_mode="rot_matrix",
-                regression_head="Rx_Ry_and_T", posenet_mode=mode,
-                energy_mode="IP", s_theta_mode="score",
-                norm_energy="identical", num_points=N_PTS,
-                sampling_steps=None, sde_mode="ve", hidden_dim=128,
-                pointnet2_params="light")
-            net = posenet_mod.GFObjectPose(cfgn, prior_fn, marginal_fn,
-                                           sde_fn, eps, T)
-            _randomize(net, seed)
-            net.eval()
-            return net
-
-        tscore, tenergy = make_tnet("score", 51), make_tnet("energy", 53)
+        tscore = rb.make_gf_net("score", 51, N_PTS)
+        tenergy = rb.make_gf_net("energy", 53, N_PTS)
         os.makedirs("results/ckpts", exist_ok=True)
         torch.save({"model_state_dict": tscore.state_dict()},
                    "results/ckpts/ref_score.pth")
@@ -202,7 +120,7 @@ def composed_tracking(tmp_path_factory):
 
         # determinism patches on the reference module: identity prior noise,
         # pinned additive prior rows, captured pooled sRTs and metrics
-        _patch(et, "add_noise_to_RT", lambda x: x.clone())
+        patch(et, "add_noise_to_RT", lambda x: x.clone())
         real_posenet = et.PoseNet
 
         def _det_posenet(cfg):
@@ -211,7 +129,7 @@ def composed_tracking(tmp_path_factory):
                 _prior_rows(shape[0]).copy())
             return agent
 
-        _patch(et, "PoseNet", _det_posenet)
+        patch(et, "PoseNet", _det_posenet)
 
         ref_srt, ref_metrics = [], {}
         real_rt_errors = et.compute_RT_errors
@@ -220,7 +138,7 @@ def composed_tracking(tmp_path_factory):
             ref_srt.append(np.array(sRT, float))
             return real_rt_errors(sRT, gt, cat_id, hv, names)
 
-        _patch(et, "compute_RT_errors", _rec_rt)
+        patch(et, "compute_RT_errors", _rec_rt)
         real_gm = et.get_metrics
 
         def _rec_gm(errors):
@@ -228,7 +146,7 @@ def composed_tracking(tmp_path_factory):
             ref_metrics.update(m)
             return m
 
-        _patch(et, "get_metrics", _rec_gm)
+        patch(et, "get_metrics", _rec_gm)
 
         # ---- run the reference composed tracking driver ----
         et.main_tracking(tracking=True, T0=T0)
@@ -259,8 +177,8 @@ def composed_tracking(tmp_path_factory):
         real_ours_noise = ours.add_noise_to_RT
         ours.compute_RT_errors = _rec_ours_rt
         ours.add_noise_to_RT = lambda key, gt: gt
-        ours.PoseAgent = lambda cfg, mode, **kw: _ported_agent(
-            cfg, mode, tscore if mode == "score" else tenergy)
+        ours.PoseAgent = lambda cfg, mode, **kw: rb.ported_flax_agent(
+            cfg, mode, tscore if mode == "score" else tenergy, _prior_rows)
         try:
             our_metrics = ours.main_tracking(our_cfg, tracking=True, T0=T0)
         finally:
@@ -274,14 +192,7 @@ def composed_tracking(tmp_path_factory):
             "ref_metrics": ref_metrics, "our_metrics": our_metrics,
         }
     finally:
-        for obj, name, orig in reversed(patched):
-            if orig is _missing:
-                try:
-                    delattr(obj, name)
-                except AttributeError:
-                    pass
-            else:
-                setattr(obj, name, orig)
+        patch.restore()
         os.chdir(cwd)
 
 

@@ -299,10 +299,10 @@ def test_trainer_cli_final_checkpoint_and_likelihood(tmp_path, monkeypatch):
 
 def test_trainer_cli_energy_with_ranking(tmp_path, monkeypatch):
     """The energy_with_ranking CLI flow end-to-end (ref ``trainer.py:325-388``
-    via ``trainer.py:434-442``): a pretrained score teacher generates K=5
-    candidates per batch online (through the frozen weights-as-constants
-    sampling program) and the energy agent trains DSM + ranking; a
-    checkpoint must land."""
+    via ``trainer.py:434-442``): a pinned pretrained score teacher generates
+    K=5 candidates per batch online (weights passed as jit arguments — the
+    teacher is deliberately NOT frozen, see ``train_energy``) and the energy
+    agent trains DSM + ranking; a checkpoint must land."""
     from genpose_tpu.data.synthetic import make_synthetic_nocs_dir
     from genpose_tpu.runners import trainer
     from genpose_tpu.training.checkpoints import latest_checkpoint

@@ -82,6 +82,9 @@ def main():
         # the previous iteration's loss into the next batch.  Both arms pay
         # the same 2 RPCs/iter over the tunnel, so the shared-vs-unshared
         # delta isolates the energy step's duplicated geometry pass.
+        if freeze:
+            agent_s.freeze()  # routes sample() through the frozen program
+
         def one_iter(i, carry):
             batch = dict(base)
             batch["zero_mean_pts"] = base["zero_mean_pts"] + 1e-12 * carry
@@ -109,13 +112,15 @@ def main():
             "metric": "energy_train_full_iter_ms",
             "value": round(1e3 * dt, 3),
             "config": {"bs": bs, "K": K, "sampler": sampler,
-                       "dispatch": "two", "geom_shared": geom_shared},
+                       "dispatch": "two", "teacher_frozen": freeze,
+                       "geom_shared": geom_shared},
         }), flush=True)
         print(json.dumps({
             "metric": "energy_train_samples_per_sec",
             "value": round(bs / dt, 1),
             "config": {"bs": bs, "K": K, "sampler": sampler,
-                       "dispatch": "two", "geom_shared": geom_shared},
+                       "dispatch": "two", "teacher_frozen": freeze,
+                       "geom_shared": geom_shared},
         }), flush=True)
         return
 

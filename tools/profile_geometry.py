@@ -26,7 +26,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import jax.numpy as jnp
 import numpy as np
 
-from genpose_tpu.utils.benchmarking import time_chain as _time_chain
+from genpose_tpu.utils.benchmarking import carrier, time_chain as _time_chain
 
 
 def main():
@@ -44,10 +44,6 @@ def main():
     rng = np.random.default_rng(0)
     pts = jnp.asarray(rng.normal(size=(bs, 1024, 3)).astype(np.float32) * 0.1)
     key = jax.random.PRNGKey(7)
-
-    def carrier(leaves):
-        return sum(jnp.sum(jnp.asarray(l, jnp.float32))
-                   for l in jax.tree.leaves(leaves)) * jnp.ones((1,))
 
     # ---- within stage 0 (1024 pts -> 512 centers, radii .02/.04) ----
     def f_s0_fps(p, k):

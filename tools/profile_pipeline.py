@@ -33,7 +33,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from genpose_tpu.utils.benchmarking import (
-    derandomize_state, peak_flops as _peak, time_chain as _time_chain)
+    carrier, derandomize_state, peak_flops as _peak,
+    time_chain as _time_chain)
 
 
 def main():
@@ -65,14 +66,9 @@ def main():
         return {"zero_mean_pts": p.at[:, :, :3].add(-c[:, None, :]),
                 "pts_center": c}
 
-    def _geom_carrier(geom):
-        return sum(jnp.sum(jnp.asarray(leaf, jnp.float32))
-                   for stage in geom for leaf in jax.tree.leaves(stage))
-
     # ---- cumulative prefixes of pipe._run ----
     def f_geom(p, k):
-        return _geom_carrier(sa.pts_geometry(_center(p)["zero_mean_pts"])) \
-            * jnp.ones((1,))
+        return carrier(sa.pts_geometry(_center(p)["zero_mean_pts"]))
 
     def f_encode(p, k):
         b = _center(p)
