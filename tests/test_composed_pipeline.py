@@ -42,6 +42,9 @@ from genpose_tpu.data.synthetic import (
 from genpose_tpu.runners import evaluation_single as ours
 
 N_PTS = 64
+IMG_SIZE = 8   # 8x8 crop <= N_PTS pixels: stage 1 hits the deterministic
+               # tile-then-prefix sampling branch on BOTH sides (no random
+               # permutation), so the seg pkls are directly comparable
 K = 3
 BS = 8
 T0 = 0.55
@@ -98,6 +101,7 @@ def composed(tmp_path_factory):
             "--data_path", nocs, "--result_dir", res_dir,
             "--test_source", "real_test", "--eval_repeat_num", str(K),
             "--batch_size", str(BS), "--num_points", str(N_PTS),
+            "--img_size", str(IMG_SIZE),
             "--T0", str(T0), "--sampler_mode", "ode_adaptive",
             "--pooling_mode", "average", "--ranker", "energy_ranker",
         ])
@@ -115,8 +119,10 @@ def composed(tmp_path_factory):
         argv = sys.argv
         sys.argv = [
             "genpose", "--test_source", "real_test", "--result_dir", res_dir,
+            "--data_path", nocs,
             "--batch_size", str(BS), "--eval_repeat_num", str(K),
-            "--num_points", str(N_PTS), "--T0", str(T0),
+            "--num_points", str(N_PTS), "--img_size", str(IMG_SIZE),
+            "--T0", str(T0),
             "--sampler_mode", "ode", "--device", "cpu",
             "--score_model_dir", "ref_score.pth",
             "--energy_model_dir", "ref_energy.pth",
@@ -147,6 +153,12 @@ def composed(tmp_path_factory):
 
         patch(es, "PoseNet", _det_posenet)
 
+        # ---- reference stage 1 on the same raw tree (deterministic
+        # tiling regime) for seg-pkl parity against OUR stage 1 ----
+        ref_seg_path = os.path.join(
+            seg_root, "segmentation_results_ref_stage1.pkl")
+        es.detect_mrcnn_genpose(ref_seg_path)
+
         # ---- run the reference's composed stages 2-4 ----
         es.inference_pose(seg_path, es.inference_res_dir, es.cfg.pose_mode,
                           record_process=False)
@@ -176,7 +188,8 @@ def composed(tmp_path_factory):
         es.evaluate(ref_dir, "results_near_gt.pkl")
         ours.evaluate(our_cfg, our_dir, "results_near_gt.pkl")
 
-        yield {"ref_dir": ref_dir, "our_dir": our_dir, "cfg": our_cfg}
+        yield {"ref_dir": ref_dir, "our_dir": our_dir, "cfg": our_cfg,
+               "seg_path": seg_path, "ref_seg_path": ref_seg_path}
     finally:
         patch.restore()
         os.chdir(cwd)
@@ -185,6 +198,37 @@ def composed(tmp_path_factory):
 def _load_results(path):
     with open(path, "rb") as f:
         return pickle.load(f)
+
+
+def test_composed_stage1_segmentation_parity(composed):
+    """Stage 1 composition: the reference's ``detect_mrcnn_genpose``
+    (``evaluation_single.py:105-260``) and ours, run on the same raw
+    synthetic NOCS tree + mrcnn pkls, produce the same segmentation cache —
+    valid-instance selection (depth/mask cutoffs), crop window (``get_bbox``
+    40px snap), warp-affine coord/mask/depth maps, backprojection, and the
+    tile-then-prefix point sampling (both sides deterministic at
+    IMG_SIZE^2 <= num_points pixels)."""
+    ref = _load_results(composed["ref_seg_path"])
+    our = _load_results(composed["seg_path"])
+    assert set(ref.keys()) == set(our.keys()) and len(ref) > 0
+    n_insts = 0
+    for img in ref:
+        r, o = ref[img], our[img]
+        assert list(r["valid_inst"]) == list(o["valid_inst"])
+        assert list(r["cat_id"]) == list(o["cat_id"])
+        assert len(r["valid_pts"]) == len(o["valid_pts"])
+        for rp, op in zip(r["valid_pts"], o["valid_pts"]):
+            assert np.asarray(rp).shape == (N_PTS, 3)
+            np.testing.assert_allclose(np.asarray(op), np.asarray(rp),
+                                       atol=1e-6)
+            n_insts += 1
+        for k in ("gt_class_ids", "gt_bboxes", "gt_RTs", "gt_scales",
+                  "gt_handle_visibility", "pred_class_ids", "pred_bboxes",
+                  "pred_scores", "pred_RTs", "pred_scales"):
+            np.testing.assert_allclose(
+                np.asarray(o["result"][k], float),
+                np.asarray(r["result"][k], float), atol=1e-9, err_msg=k)
+    assert n_insts >= 4
 
 
 def test_composed_hypotheses_and_energies_match(composed):
