@@ -274,7 +274,14 @@ class NOCSDataset:
             out_camK, img_type = REAL_INTRINSICS, "real"
 
         if self.per_obj_id is not None:
-            idx = gts["class_ids"].index(self.per_obj_id)
+            # first instance of the requested category (label pkls store
+            # class_ids as numpy arrays, so list.index would crash; the
+            # image list is pre-filtered, but stay defensive)
+            matches = np.where(
+                np.asarray(gts["class_ids"]) == self.per_obj_id)[0]
+            if matches.size == 0:
+                return None
+            idx = int(matches[0])
         else:
             idx = int(rng.integers(0, len(gts["instance_ids"])))
 

@@ -128,5 +128,8 @@ def draw_detections(img, out_dir, data_name, img_id, intrinsics,
         img = _draw_group(img, pred_sRT, pred_size, pred_class_ids, intrinsics,
                           (0, 0, 255), draw_bbox, draw_axis,
                           flags=error_flags)
-    cv2.imwrite(out_path, img)
+    os.makedirs(out_dir, exist_ok=True)
+    if not cv2.imwrite(out_path, img):
+        # imwrite returns False instead of raising (bad path/encoder)
+        raise IOError(f"cv2.imwrite failed for {out_path}")
     return out_path

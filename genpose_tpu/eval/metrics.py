@@ -45,7 +45,7 @@ def pose_errors_jax(
     handle_visibility: jnp.ndarray,
     synset_names: Sequence[str],
     pose_mode: str = "rot_matrix",
-    o2c_pose: bool = True,
+    o2c_pose: bool = False,
 ):
     """Batched (rot deg, trans cm*?) errors, jit-friendly.
 
@@ -139,9 +139,13 @@ def get_metrics(
     synset_names,
     gt_handle_visibility,
     pose_mode="rot_matrix",
-    o2c_pose=True,
+    o2c_pose=False,
 ):
     """Numpy drop-in for the reference ``get_metrics`` (``metrics.py:157-187``).
+
+    ``o2c_pose=False`` mirrors the reference FUNCTION default (the runners
+    pass ``cfg.o2c_pose``, whose config default is True on both sides,
+    ref ``config.py:11``).
 
     Returns (rot_error_deg [bs], trans_error_cm [bs]) as numpy arrays.
     """

@@ -121,7 +121,7 @@ def compute_3d_IoU(sRT_1, sRT_2, size_1, size_2, class_name_1, class_name_2,
 # ---------------------------------------------------------------------------
 
 def _greedy_match(overlaps: np.ndarray, thresholds: Sequence[float],
-                  pred_class_ids, gt_class_ids):
+                  pred_class_ids, gt_class_ids, score_threshold=0):
     """Score-ordered greedy matching shared by the 2D/3D IoU protocols
     (ref ``sgpa_utils.py:405-434``).  ``overlaps`` rows are already in
     score-descending order."""
@@ -129,10 +129,19 @@ def _greedy_match(overlaps: np.ndarray, thresholds: Sequence[float],
     n_thres = len(thresholds)
     pred_matches = -1 * np.ones((n_thres, num_pred))
     gt_matches = -1 * np.ones((n_thres, num_gt))
+    # each prediction's overlap-sorted GT candidates are threshold-
+    # independent: sort once, trim below score_threshold up front (the
+    # reference's "remove low scores" step, ``sgpa_utils.py:414-418``)
+    orders = []
+    for i in range(num_pred):
+        order = np.argsort(overlaps[i])[::-1]
+        low = np.where(overlaps[i, order] < score_threshold)[0]
+        if low.size > 0:
+            order = order[: low[0]]
+        orders.append(order)
     for s, thres in enumerate(thresholds):
         for i in range(num_pred):
-            order = np.argsort(overlaps[i])[::-1]
-            for j in order:
+            for j in orders[i]:
                 if gt_matches[s, j] > -1:
                     continue
                 if overlaps[i, j] < thres:
@@ -166,7 +175,8 @@ def compute_IoU_matches(gt_class_ids, gt_sRT, gt_size, gt_handle_visibility,
                 synset_names[int(gt_class_ids[j])], gt_handle_visibility[j],
             )
     gt_matches, pred_matches = _greedy_match(
-        overlaps, iou_3d_thresholds, pred_class_ids, gt_class_ids)
+        overlaps, iou_3d_thresholds, pred_class_ids, gt_class_ids,
+        score_threshold)
     return gt_matches, pred_matches, overlaps, indices
 
 
@@ -196,7 +206,8 @@ def compute_2d_IoU_matches(gt_class_ids, gt_bboxes, pred_class_ids, pred_bboxes,
         for j in range(num_gt):
             overlaps[i, j] = compute_2d_IoU(pred_bboxes[i], gt_bboxes[j])
     gt_matches, pred_matches = _greedy_match(
-        overlaps, iou_2d_thresholds, pred_class_ids, gt_class_ids)
+        overlaps, iou_2d_thresholds, pred_class_ids, gt_class_ids,
+        score_threshold)
     return gt_matches, pred_matches, overlaps, indices
 
 
@@ -310,8 +321,18 @@ def sort_sRT_by_energy(sRT, energy=None, RT_overlaps=None,
     if ranker == "energy_ranker":
         RT_energy = energy
     elif ranker == "gt_ranker":
-        # higher energy = lower GT error (min over gt instances)
-        RT_energy = -np.min(RT_overlaps, axis=1)
+        if RT_overlaps.shape[1] == 0:
+            # no GT instance of this class in the scene (false-positive
+            # detections): there is no GT error to rank by, so keep the
+            # incoming hypothesis order (strictly decreasing pseudo-energy;
+            # the reference crashes here on a zero-size np.min,
+            # ``sgpa_utils.py:938-939``)
+            RT_energy = np.broadcast_to(
+                -np.arange(repeat_num, dtype=np.float64)[None, :, None],
+                (pred_num, repeat_num, 2)).copy()
+        else:
+            # higher energy = lower GT error (min over gt instances)
+            RT_energy = -np.min(RT_overlaps, axis=1)
     elif ranker == "random":
         RT_energy = np.random.rand(pred_num, repeat_num, 2)
     else:

@@ -284,3 +284,23 @@ def test_process_loader_requires_fetch():
 
     with pytest.raises(TypeError, match="fetch"):
         DataLoader(NoFetch(), batch_size=2, workers_mode="process")
+
+
+def test_dataset_per_obj_category(nocs_dir):
+    """per_obj restricts sampling to one category (ref
+    ``datasets_genpose.py:126-141,221-222``).  Regression: label pkls store
+    class_ids as numpy arrays, where ``list.index`` would crash."""
+    from genpose_tpu.data.nocs import CAT_NAMES, NOCSDataset
+
+    probe = NOCSDataset(data_dir=nocs_dir, source="CAMERA+Real",
+                        mode="train", n_pts=128)
+    cat = CAT_NAMES[int(probe[0]["cat_id"])]
+
+    ds = NOCSDataset(data_dir=nocs_dir, source="CAMERA+Real", mode="train",
+                     n_pts=128, per_obj=cat)
+    assert len(ds) > 0  # image list pre-filtered to scenes containing it
+    want = ds.per_obj_id - 1  # cat_id field is 0-based
+    for i in range(len(ds)):
+        item = ds[i]
+        assert item is not None
+        assert int(item["cat_id"]) == want

@@ -201,3 +201,49 @@ def test_compute_map_gt_ranker_not_worse(tmp_path):
         use_matches_for_pose=True, pooling_mode="nearest", ratio=0.25,
         ranker="gt_ranker")
     assert aps_gt[-1, 0, 0] >= aps_energy[-1, 0, 0] - 1e-9
+
+
+def test_compute_map_gt_ranker_false_positive_class(tmp_path):
+    """gt_ranker must survive a scene containing predictions of a class with
+    ZERO GT instances (real MRCNN results routinely have such false
+    positives; the reference crashes on a zero-size np.min,
+    ``sgpa_utils.py:938-939`` — documented deviation: the incoming
+    hypothesis order is kept for that class)."""
+    rng = np.random.default_rng(4)
+    sc = _scene(rng, n_gt=2, scene_idx=0)
+    # add a false-positive detection of a class absent from the GT set
+    fp_cls = next(c for c in range(1, 7)
+                  if c not in set(sc["gt_class_ids"].tolist()))
+    K = sc["multi_hypothesis_pred_RTs"].shape[1]
+    sc["pred_class_ids"] = np.append(sc["pred_class_ids"], fp_cls)
+    sc["multi_hypothesis_pred_RTs"] = np.concatenate(
+        [sc["multi_hypothesis_pred_RTs"],
+         np.tile(np.eye(4), (1, K, 1, 1))], axis=0)
+    sc["energy"] = np.concatenate(
+        [sc["energy"], np.ones((1, K, 2))], axis=0)
+    sc["pred_scales"] = np.concatenate(
+        [sc["pred_scales"], np.full((1, 3), 0.2)], axis=0)
+    sc["pred_scores"] = np.append(sc["pred_scores"], 0.9)
+    sc["pred_bboxes"] = np.concatenate(
+        [sc["pred_bboxes"], np.array([[300, 300, 330, 330]])], axis=0)
+
+    _, pose_aps, _, _ = compute_mAP(
+        [sc], str(tmp_path), [5], [2], iou_3d_thresholds=[0.1],
+        iou_pose_thres=0.1, use_matches_for_pose=True,
+        pooling_mode="nearest", ratio=0.5, ranker="gt_ranker")
+    # the true-positive classes still score; the run does not crash
+    assert np.all(np.isfinite(pose_aps))
+
+
+def test_greedy_match_score_threshold_trims():
+    """The reference's "remove low scores" trimming (``sgpa_utils.py:
+    414-418``): an overlap below score_threshold must not match even when it
+    clears the IoU threshold."""
+    from genpose_tpu.eval.nocs_eval import _greedy_match
+
+    overlaps = np.array([[0.3]], dtype=np.float32)
+    gt_m, pred_m = _greedy_match(overlaps, [0.25], [1], [1])
+    assert pred_m[0, 0] == 0  # matches without trimming (0.3 > 0.25)
+    gt_m, pred_m = _greedy_match(overlaps, [0.25], [1], [1],
+                                 score_threshold=0.5)
+    assert pred_m[0, 0] == -1  # trimmed before the scan
