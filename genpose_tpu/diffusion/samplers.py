@@ -279,6 +279,7 @@ def pc_sampler(
     pose_mode: str = "rot_matrix",
     num_steps: int = 500,
     snr: float = 0.16,
+    T0: Optional[float] = None,
     init_x: Optional[jnp.ndarray] = None,
     pts_center: Optional[jnp.ndarray] = None,
     return_process: bool = False,
@@ -287,14 +288,29 @@ def pc_sampler(
 
     Langevin corrector with SNR-adaptive step + Euler-Maruyama reverse-SDE
     predictor; per-step rotation renormalization.
+
+    ``T0`` pathway — EXTENSION vs the reference (its ``cond_pc_sampler``
+    has neither T0 nor prior noise on ``init_x``, samplers.py:102-118,
+    which leaves PC undrivable by the tracking runner that always passes
+    both): with T0 given, the ladder starts at T0 and ``init_x`` receives
+    prior noise at T0 — the same semantics as ``ode_sampler``.  Without
+    T0 the reference's exact behavior is kept (full ladder, ``init_x``
+    used as-is).
     """
     pose_dim = get_pose_dim(pose_mode)
     k_prior, k_scan = jax.random.split(key)
-    x0 = sde.prior(k_prior, (batch_size, pose_dim)) if init_x is None else init_x
+    if T0 is None:
+        x0 = (sde.prior(k_prior, (batch_size, pose_dim))
+              if init_x is None else init_x)
+        T = sde.T
+    else:
+        prior_sample = sde.prior(k_prior, (batch_size, pose_dim), T=T0)
+        x0 = prior_sample if init_x is None else init_x + prior_sample
+        T = T0
     if pts_center is None:
         pts_center = jnp.zeros((batch_size, 3))
 
-    ts = jnp.linspace(sde.T, sde.eps, num_steps)
+    ts = jnp.linspace(T, sde.eps, num_steps)
     step_size = ts[0] - ts[1]
     noise_norm = jnp.sqrt(float(pose_dim))
 
@@ -318,9 +334,14 @@ def pc_sampler(
         # Corrector (Langevin MCMC)
         grad = score_fn(x, t_vec)
         # guard: an exactly-zero score (zero-initialized net) would give an
-        # infinite Langevin step; trained nets are unaffected
-        grad_norm = jnp.maximum(jnp.mean(jnp.linalg.norm(grad, axis=-1)), 1e-12)
-        langevin_step = 2.0 * (snr * noise_norm / grad_norm) ** 2
+        # infinite Langevin step; make the corrector a NO-OP instead (a
+        # tiny-floor clamp on grad_norm would do the opposite — an
+        # astronomically large noise step).  Trained nets are unaffected.
+        grad_norm = jnp.mean(jnp.linalg.norm(grad, axis=-1))
+        langevin_step = jnp.where(
+            grad_norm > 1e-8,
+            2.0 * (snr * noise_norm / jnp.maximum(grad_norm, 1e-8)) ** 2,
+            0.0)
         x = x + langevin_step * grad + jnp.sqrt(2.0 * langevin_step) * \
             jax.random.normal(k1, x.shape)
         x = block_normalize(x)
@@ -512,13 +533,16 @@ def edm_sampler(
         x_hat = x_cur + jnp.sqrt(jnp.clip(t_hat**2 - t_cur**2, 0.0)) * S_noise * \
             jax.random.normal(k, x_cur.shape)
 
-        t_hat_vec = jnp.full((batch_size, 1), t_hat)
+        # batch-shared sigma as a [1,1] row: broadcasts in the trunk, so
+        # the sigma embedding is computed once per step, not per bs*K row
+        # (the same pattern as ode_sampler/pc_sampler's t_vec)
+        t_hat_vec = jnp.full((1, 1), t_hat)
         denoised = denoise_fn(x_hat, t_hat_vec)
         d_cur = (x_hat - denoised) / t_hat
         x_next = x_hat + (t_next - t_hat) * d_cur
 
         def second_order(x_next):
-            t_next_vec = jnp.full((batch_size, 1), t_next)
+            t_next_vec = jnp.full((1, 1), t_next)
             denoised2 = denoise_fn(x_next, t_next_vec)
             d_prime = (x_next - denoised2) / jnp.where(t_next == 0, 1.0, t_next)
             return x_hat + (t_next - t_hat) * (0.5 * d_cur + 0.5 * d_prime)

@@ -112,7 +112,10 @@ def edm_sde(t, sigma_min=0.002, sigma_max=80.0):
 
 
 def edm_prior(key, shape, sigma_min=0.002, sigma_max=80.0, T=None):
-    return jax.random.normal(key, shape) * sigma_max
+    # EDM "time" IS sigma: a truncated start (T0/tracking pathway) draws
+    # prior noise at the start sigma, not always at sigma_max
+    sigma = sigma_max if T is None else T
+    return jax.random.normal(key, shape) * sigma
 
 
 def init_sde(sde_mode: str) -> SDE:

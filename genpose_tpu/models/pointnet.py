@@ -27,6 +27,11 @@ class STNkd(nn.Module):
         h = jnp.max(h, axis=1)  # [B, 1024]
         h = nn.relu(nn.Dense(512, dtype=self.dtype)(h))
         h = nn.relu(nn.Dense(256, dtype=self.dtype)(h))
+        # DELIBERATE deviation: the reference's fc3 is a randomly
+        # initialized Linear plus the identity (``pointnets.py:45-79``), so
+        # its T-net starts at identity-plus-noise; zero-initializing the
+        # last layer starts at the EXACT identity — the standard stable
+        # T-net init.  Ported reference weights overwrite this either way.
         h = nn.Dense(
             self.k * self.k,
             kernel_init=nn.initializers.zeros,

@@ -191,18 +191,24 @@ class PoseAgent:
                                     dtype=self.model.dtype)
         return None
 
-    def _head_score_fn(self, params, batch_stats, feat, repeat: int = 1):
-        variables = {"params": params, "batch_stats": batch_stats}
-        # hoist the pts_feat tail projections: computed once here, reused by
-        # every sampler step (pts_feat is loop-invariant inside the scan).
-        # ``repeat`` folds K hypotheses in AFTER the projection: projecting
-        # bs rows and repeating the results is bit-identical to projecting
-        # bs*K repeated rows at 1/K the FLOPs (rows are independent).
+    def _head_projs(self, variables, feat, repeat: int = 1):
+        """Hoist the pts_feat tail projections: computed once here, reused by
+        every sampler step (pts_feat is loop-invariant inside the scan).
+        ``repeat`` folds K hypotheses in AFTER the projection: projecting
+        bs rows and repeating the results is bit-identical to projecting
+        bs*K repeated rows at 1/K the FLOPs (rows are independent).  One
+        copy shared by the score/energy/denoise heads so the repeat ordering
+        (which must match ``.reshape(bs, K, -1)``) cannot desynchronize."""
         projs = self.model.apply(variables, feat,
                                  method=GFObjectPose.precompute_head)
         if repeat > 1:
             projs = jax.tree.map(lambda p: jnp.repeat(p, repeat, axis=0),
                                  projs)
+        return projs
+
+    def _head_score_fn(self, params, batch_stats, feat, repeat: int = 1):
+        variables = {"params": params, "batch_stats": batch_stats}
+        projs = self._head_projs(variables, feat, repeat)
         if self.mode == "score":
 
             def score_fn(pose, t):
@@ -223,11 +229,7 @@ class PoseAgent:
 
     def _head_energy_fn(self, params, batch_stats, feat, repeat: int = 1):
         variables = {"params": params, "batch_stats": batch_stats}
-        projs = self.model.apply(variables, feat,
-                                 method=GFObjectPose.precompute_head)
-        if repeat > 1:
-            projs = jax.tree.map(lambda p: jnp.repeat(p, repeat, axis=0),
-                                 projs)
+        projs = self._head_projs(variables, feat, repeat)
 
         def energy_fn(pose, t):
             return self.model.apply(variables, projs, pose, t,
@@ -242,11 +244,7 @@ class PoseAgent:
         D = x + sigma^2 * s(x, sigma)."""
         if self.model.decoder_head:
             variables = {"params": params, "batch_stats": batch_stats}
-            projs = self.model.apply(variables, feat,
-                                     method=GFObjectPose.precompute_head)
-            if repeat > 1:
-                projs = jax.tree.map(lambda p: jnp.repeat(p, repeat, axis=0),
-                                     projs)
+            projs = self._head_projs(variables, feat, repeat)
 
             def denoise_fn(pose, t):
                 return self.model.apply(variables, projs, pose, t,
@@ -467,6 +465,20 @@ class PoseAgent:
         params = state.ema.shadow if use_ema else state.params
         pts = batch["zero_mean_pts"]
         bs = pts.shape[0]
+        if self.is_edm and T0 is not None and sampler != "edm":
+            # Runner-facing T0 is a [0,1] time FRACTION (cfg.T0: 0.55 eval /
+            # 0.15 tracking) but EDM "time" IS sigma (sde.T = sigma_max=80):
+            # passing the fraction through would start the PF-ODE at
+            # sigma=T0 from a prior drawn at sigma_start.  Map it onto the
+            # sigma ladder geometrically — the same rule as ``edm_sampler``
+            # — and let the T-aware ``edm_prior`` draw at that sigma.
+            smin, smax = self.sde.eps, self.sde.T
+            if isinstance(T0, (int, float)):
+                T0 = smax if T0 >= 1.0 else smin ** (1.0 - T0) * smax ** T0
+            else:
+                t0c = jnp.clip(T0, 0.0, 1.0)
+                T0 = jnp.where(t0c >= 1.0, smax,
+                               smin ** (1.0 - t0c) * smax ** t0c)
         if return_geometry and geometry is None:
             geometry = self.pts_geometry(pts)
         feat, _ = self._encode_and_score_fn(params, state.batch_stats, pts,
@@ -498,8 +510,8 @@ class PoseAgent:
         elif sampler == "pc":
             process, res = pc_sampler(
                 score_fn, key, bs * repeat_num, self.sde, self.cfg.pose_mode,
-                num_steps=num_steps, init_x=init_rep, pts_center=center_rep,
-                return_process=return_process,
+                num_steps=num_steps, T0=T0, init_x=init_rep,
+                pts_center=center_rep, return_process=return_process,
             )
         elif sampler == "edm":
             # Heun EDM sampler over the denoiser (ref ``cond_edm_sampler``,

@@ -29,6 +29,10 @@ def ranking_loss(energy: jnp.ndarray) -> jnp.ndarray:
     higher energy (E_i > E_j), ~2 when mis-ranked (ref ``reward.py:109-128``).
     """
     K = energy.shape[1]
+    if K < 2:
+        # no ordered pairs: zero loss instead of a silent 0/0 NaN that
+        # would poison the whole energy train step
+        return jnp.float32(0.0)
     e_i = energy[:, :, None, :]  # i (better) axis
     e_j = energy[:, None, :, :]  # j (worse) axis
     diff = 1.0 + (e_j - e_i) / (jnp.abs(e_i - e_j) + 1e-5)

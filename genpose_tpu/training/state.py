@@ -35,8 +35,13 @@ def make_lr_schedule(
     """lr(step) = base * min(step/warmup, 1) * gamma^min(epoch, floor_epochs)."""
     import math
 
-    floor_epochs = max(0, math.ceil(math.log(floor_lr / base_lr) /
-                                    math.log(decay_per_epoch)))
+    assert 0.0 < decay_per_epoch <= 1.0, (
+        f"decay_per_epoch must be in (0, 1], got {decay_per_epoch}")
+    if decay_per_epoch == 1.0:  # decay disabled (log(1)=0 would divide by 0)
+        floor_epochs = 0
+    else:
+        floor_epochs = max(0, math.ceil(math.log(floor_lr / base_lr) /
+                                        math.log(decay_per_epoch)))
 
     def schedule(step):
         step = jnp.asarray(step, jnp.float32)

@@ -295,3 +295,48 @@ def test_edm_serving_under_mesh_matches_unsharded():
     for k in out_p:
         assert np.isfinite(out_s[k]).all()
         np.testing.assert_allclose(out_s[k], out_p[k], rtol=2e-4, atol=2e-4)
+
+
+def test_edm_agent_pf_ode_T0_maps_to_sigma_ladder(task):
+    """Generic PF-ODE samplers on an EDM agent must map the runner-facing
+    T0 time FRACTION onto the sigma ladder (EDM "time" IS sigma, T=80):
+    with an untrained (zero-init) decoder, D(x, s) = c_skip(s) * x, so from
+    a truncated start the trajectory stays near init_x + tiny prior noise.
+    Before the mapping, T0=0.15 was used as a raw sigma start while the
+    prior was drawn at sigma_max=80 — pure-noise poses."""
+    cfg = Config(num_points=N_PTS, repeat_num=1, batch_size=BS,
+                 pts_encoder="pointnet", sde_mode="edm")
+    agent = PoseAgent(cfg, "score", steps_per_epoch=10)
+    batch, _ = _make_batch(task, jax.random.PRNGKey(21))
+    init = jnp.tile(jnp.asarray([[1., 0, 0, 0, 1., 0, 0.1, 0.2, 0.3]]),
+                    (BS, 1))
+    for sampler in ("ode", "ode_adaptive", "pc"):
+        pred = agent.sample(batch, jax.random.PRNGKey(3), repeat_num=1,
+                            sampler=sampler, num_steps=16, T0=0.15,
+                            init_x=init)[:, 0]
+        assert np.all(np.isfinite(np.asarray(pred))), sampler
+        d = float(jnp.linalg.norm(pred[:, -3:] - init[:, -3:], axis=-1).mean())
+        # sigma_start = 0.002^0.85 * 80^0.15 ~ 0.01 -> translation stays put
+        assert d < 0.1, (sampler, d)
+
+
+def test_ranking_loss_single_candidate_is_zero():
+    """K=1 has no ordered pairs: the loss must be exactly 0, not a 0/0 NaN
+    that would poison the energy train step."""
+    from genpose_tpu.training.ranking import ranking_loss
+
+    loss = ranking_loss(jnp.ones((4, 1, 2)))
+    assert float(loss) == 0.0
+
+
+def test_lr_schedule_decay_disabled():
+    """decay_per_epoch=1.0 (decay off) must not divide by log(1)=0."""
+    from genpose_tpu.training.state import make_lr_schedule
+
+    sched = make_lr_schedule(1e-3, warmup_steps=10, decay_per_epoch=1.0,
+                             steps_per_epoch=5)
+    assert float(sched(0)) == 0.0
+    assert np.isclose(float(sched(10)), 1e-3)
+    assert np.isclose(float(sched(10_000)), 1e-3)
+    with pytest.raises(AssertionError):
+        make_lr_schedule(1e-3, 10, 1.02, 5)

@@ -366,3 +366,36 @@ def test_vp_subvp_agent_smoke():
         pred = agent.sample(batch, jax.random.PRNGKey(2), repeat_num=2,
                             sampler="ode", num_steps=4)
         assert np.all(np.isfinite(np.asarray(pred))), mode
+
+
+def test_pc_sampler_T0_tracking_prior():
+    """T0 extension (documented in the docstring): with T0 + init_x the PC
+    ladder starts at T0 with prior noise at sigma(T0) added — the tracking
+    semantics ode_sampler has — instead of silently running the full ladder
+    from T=1 (sigma 50) that would obliterate the prior.
+
+    snr=0 disables the Langevin corrector (which, with an ANALYTIC
+    equilibrium score, re-samples the data distribution at any t and would
+    forget the prior by design) so the assertion isolates the ladder-start
+    mechanics: predictor noise is diffusion(t)-scaled, tiny from t=0.15,
+    catastrophic from t=1."""
+    sde = init_sde("ve")
+    init = jnp.tile(jnp.asarray([[1., 0, 0, 0, 1., 0, 0.1, 0.2, 0.3]]),
+                    (256, 1))
+    score = gaussian_score(sde)
+    _, x_tracked = pc_sampler(
+        score, jax.random.PRNGKey(11), batch_size=256, sde=sde,
+        pose_mode="rot_matrix", num_steps=60, snr=0.0, T0=0.15, init_x=init,
+    )
+    _, x_full = pc_sampler(
+        score, jax.random.PRNGKey(11), batch_size=256, sde=sde,
+        pose_mode="rot_matrix", num_steps=60, snr=0.0, init_x=init,
+    )
+    d_tracked = float(jnp.linalg.norm(x_tracked[:, -3:] - init[:, -3:],
+                                      axis=-1).mean())
+    d_full = float(jnp.linalg.norm(x_full[:, -3:] - init[:, -3:],
+                                   axis=-1).mean())
+    assert np.isfinite(d_tracked) and d_tracked < 0.2
+    # the full ladder (reference behavior, kept when T0 is None) forgets
+    # the prior entirely
+    assert d_full > 3 * d_tracked
