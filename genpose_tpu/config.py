@@ -58,6 +58,8 @@ class Config:
     data_path: str = ""
     o2c_pose: bool = True
     batch_size: int = 192
+    # accepted for reference-script compatibility; unused THERE too
+    # (defined at config.py:13, read nowhere in the reference)
     max_batch_size: int = 192
     mini_bs: int = 192
     pose_mode: str = "rot_matrix"
@@ -235,7 +237,17 @@ def get_config(argv: Optional[List[str]] = None) -> Config:
     """
     parser = argparse.ArgumentParser(description="genpose_tpu")
     _add_dataclass_args(parser, Config)
-    ns, _ = parser.parse_known_args(argv if argv is not None else [])
+    # the reference's GPU knobs (config.py:61-62), accepted so its scripts
+    # run unchanged but ignored (device parallelism here = --num_devices
+    # over a jax mesh).  Everything else is parsed STRICTLY: a typo'd flag
+    # must error, not silently run a multi-hour job with default values.
+    parser.add_argument("--parallel", type=str, default=None,
+                        help="ignored (reference compatibility)")
+    parser.add_argument("--num_gpu", type=int, default=None,
+                        help="ignored (reference compatibility)")
+    ns = parser.parse_args(argv if argv is not None else [])
+    for ignored in ("parallel", "num_gpu"):
+        delattr(ns, ignored)
     overrides = {}
     for f in dataclasses.fields(Config):
         if f.name in ("dzi", "pts_aug", "deform_2d"):

@@ -96,6 +96,9 @@ def extract_single_frame_data(cfg: Config, path: str, rng) -> Optional[dict]:
     return {
         "gt_handle_visibility": np.asarray(f_hv),
         "gt_pose": np.asarray(f_gt),
+        # extracted for pkl-format parity; neither driver consumes it —
+        # the reference also reads 'seen' into 'tracked' and then seeds
+        # purely by model-name matching (evaluation_tracking.py:183,302-310)
         "tracked": f_seen if seen is not None else None,
         "model_name": f_names,
         "pts": f_points,

@@ -222,7 +222,7 @@ def inference(cfg: Config, test_loader, agent: PoseAgent):
         rot_errs, trans_errs = [], []
         all_pred, all_gt, all_id, all_hv = [], [], [], []
         for index, raw in enumerate(test_loader):
-            if index > cfg.max_eval_num:
+            if index > cfg.max_eval_num:  # > not >=: ref parity (trainer.py:38)
                 break
             key, k_s = jax.random.split(key)
             batch = process_batch(raw, cfg.pose_mode)
@@ -279,7 +279,7 @@ def likelihood_eval(cfg: Config, test_loader, agent: PoseAgent):
     key = jax.random.PRNGKey(cfg.seed + 3)
     all_bits, all_ids = [], []
     for index, raw in enumerate(test_loader):
-        if index > cfg.max_eval_num:
+        if index > cfg.max_eval_num:  # > not >=: ref parity (trainer.py:38)
             break
         key, k = jax.random.split(key)
         batch = process_batch(raw, cfg.pose_mode)
@@ -337,6 +337,12 @@ def evaluation(cfg: Config):
     )
     error = np.stack([rot_error, trans_error], axis=1)
     out = cfg.results_path.replace("results.pkl", "average_results.pkl")
+    if out == cfg.results_path:
+        # basename without the literal "results.pkl" (e.g. a
+        # results_with_energy.pkl from evaluation_single): never let the
+        # reference's substring-replace naming (trainer.py:256) silently
+        # OVERWRITE the input pickle with the small error array
+        out = cfg.results_path + ".average_results.pkl"
     with open(out, "wb") as f:
         pickle.dump(error, f)
     print("Mean Rotation Error: ", rot_error.mean())
@@ -362,7 +368,7 @@ def prediction(cfg: Config, test_loader, agent: PoseAgent,
 
     all_res = []
     for index, raw in enumerate(test_loader):
-        if index > cfg.max_eval_num:
+        if index > cfg.max_eval_num:  # > not >=: ref parity (trainer.py:38)
             break
         key, k_s = jax.random.split(key)
         batch = process_batch(raw, cfg.pose_mode)
@@ -430,6 +436,42 @@ def prediction(cfg: Config, test_loader, agent: PoseAgent,
 
 def _load_pretrained(agent: PoseAgent, path: str, load_model_only=True):
     agent.state = load_checkpoint(path, agent.state, load_model_only)
+
+
+def _resolve_eval_weights(cfg: Config, agent: PoseAgent, ckpt_dir: str):
+    """Load trained weights for the --eval/--pred/--likelihood flows.
+
+    The reference loads ``cfg.pretrained_model_path`` here
+    (``trainer.py:449-450``) — an attribute its config never defines, so
+    that flow crashes upstream; redesigned with an explicit resolution
+    order: mode-matching explicit path flag > ``--model_name`` epoch in
+    this log_dir (ref ``posenet_agent.py:32``'s layout) > the latest
+    checkpoint in this log_dir (covers an already-applied --use_pretrain
+    resume) > a LOUD warning that randomly initialized weights are being
+    evaluated (synthetic smoke runs rely on that being possible)."""
+    explicit = None
+    if agent.mode == "energy" and cfg.pretrained_energy_model_path:
+        explicit = cfg.pretrained_energy_model_path
+    elif agent.mode == "score" and cfg.pretrained_score_model_path:
+        explicit = cfg.pretrained_score_model_path
+    if explicit:
+        _load_pretrained(agent, explicit)
+        return
+    if cfg.model_name:
+        path = os.path.join(ckpt_dir, f"ckpt_epoch{cfg.model_name}")
+        if not os.path.exists(path):
+            raise FileNotFoundError(
+                f"--model_name {cfg.model_name}: no checkpoint at {path}")
+        _load_pretrained(agent, path)
+        return
+    if cfg.use_pretrain:
+        return  # the resume block above already restored the latest state
+    path = latest_checkpoint(ckpt_dir)
+    if path:
+        _load_pretrained(agent, path)
+        return
+    print(f"WARNING: no checkpoint to evaluate (no weight flags and none "
+          f"under {ckpt_dir}) — running with randomly initialized weights")
 
 
 def main(argv=None):
@@ -502,17 +544,16 @@ def _run_flows(cfg, mesh, loaders, steps_per_epoch):
             if clock:
                 tr_agent.clock.restore_checkpoint(clock)
 
+    if cfg.eval or cfg.likelihood or cfg.pred:
+        _resolve_eval_weights(cfg, tr_agent, ckpt_dir)
+
     if cfg.eval:
-        if cfg.model_name and cfg.pretrained_score_model_path:
-            _load_pretrained(tr_agent, cfg.pretrained_score_model_path)
         print("Start inference ...")
         inference(cfg, test_loader, tr_agent)
         print("Inference finished")
         return
 
     if cfg.likelihood:
-        if cfg.model_name and cfg.pretrained_score_model_path:
-            _load_pretrained(tr_agent, cfg.pretrained_score_model_path)
         print("Start likelihood evaluation ...")
         likelihood_eval(cfg, test_loader, tr_agent)
         print("Likelihood evaluation finished")

@@ -84,6 +84,10 @@ class MetricsLogger:
             json.dumps({"t": time.time(), "tag": tag, "value": float(value),
                         "step": int(step)}) + "\n"
         )
+        # the jsonl exists to be tail/grep-able DURING a multi-day run, and
+        # a crash must not eat the buffered tail; scalars are logged every
+        # ~50 steps, so a flush per line is free
+        self._jsonl.flush()
 
     def scalars(self, values: Dict[str, float], step: int, prefix: str = ""):
         for k, v in values.items():

@@ -139,3 +139,66 @@ def test_trainer_main_eval_then_results_path(tree, tmp_path, monkeypatch):
     with open(avg, "rb") as f:
         err = pickle.load(f)
     assert err.ndim == 2 and err.shape[1] == 2 and np.isfinite(err).all()
+
+
+def test_config_rejects_unknown_flags():
+    """A typo'd CLI flag must error (argparse SystemExit), not silently run
+    a multi-hour job with default values (get_config previously used
+    parse_known_args); the reference's GPU knobs stay accepted-but-ignored
+    so its scripts run unchanged."""
+    from genpose_tpu.config import get_config
+
+    with pytest.raises(SystemExit):
+        get_config(["--sampling_stpes", "100"])
+    cfg = get_config(["--parallel", "true", "--num_gpu", "2",
+                      "--sampling_steps", "7"])
+    assert cfg.sampling_steps == 7
+    assert not hasattr(cfg, "num_gpu")
+
+
+def test_trainer_evaluation_never_overwrites_input(tmp_path):
+    """evaluation() with a results path whose basename lacks the literal
+    'results.pkl' (e.g. results_with_energy.pkl) must write the error array
+    ALONGSIDE the input, not overwrite it (the reference's substring
+    replace, trainer.py:256, destroys the input in that case)."""
+    import pickle
+
+    from genpose_tpu.config import Config
+    from genpose_tpu.runners import trainer
+
+    rng = np.random.default_rng(0)
+    N, K = 4, 3
+    rot6 = np.tile(np.asarray([1., 0, 0, 0, 1., 0]), (N, K, 1))
+    pred = np.concatenate([rot6, rng.normal(size=(N, K, 3))], axis=-1)
+    gt = np.concatenate([rot6[:, 0], rng.normal(size=(N, 3))], axis=-1)
+    payload = {
+        "pred_pose": pred.astype(np.float32),
+        "gt_pose": gt.astype(np.float32),
+        "cls_id": np.zeros((N,), np.int32),
+        "handle_visibility": np.ones((N,), np.int32),
+    }
+    path = tmp_path / "results_with_energy.pkl"
+    with open(path, "wb") as f:
+        pickle.dump(payload, f)
+
+    trainer.evaluation(Config(results_path=str(path)))
+
+    with open(path, "rb") as f:  # input intact
+        again = pickle.load(f)
+    assert set(again) == set(payload)
+    out = tmp_path / "results_with_energy.pkl.average_results.pkl"
+    assert out.exists()
+
+
+def test_trainer_eval_missing_model_name_fails_loudly(tree, tmp_path,
+                                                      monkeypatch):
+    """--eval with a --model_name that resolves to no checkpoint must raise,
+    not silently evaluate random weights."""
+    from genpose_tpu.runners import trainer
+
+    nocs, _, _ = tree
+    monkeypatch.chdir(tmp_path)
+    with pytest.raises(FileNotFoundError):
+        trainer.main(["--agent_type", "score", "--eval", "true",
+                      "--model_name", "999", "--data_path", nocs,
+                      "--log_dir", "nockpt", "--num_workers", "1"] + COMMON)

@@ -104,3 +104,40 @@ def test_tracking_with_adaptive_sampler(tracking_tree, tmp_path, monkeypatch):
     metrics = trk.main_tracking(cfg, tracking=True, T0=0.15)
     assert "all" in metrics
     assert np.isfinite(metrics["all"]["mean_error"]).all()
+
+
+def test_cal_average_srt_matches_device_pooling():
+    """``cal_average_sRT`` is the host-side numpy twin of the device pooling
+    the frame pipeline actually uses (``PoseAgent.aggregate_hypotheses``);
+    this pins the two implementations to each other so they cannot drift."""
+    import jax.numpy as jnp
+    from scipy.spatial.transform import Rotation as Rot
+
+    from genpose_tpu.config import Config
+    from genpose_tpu.ops.pose import get_rot_matrix
+    from genpose_tpu.runners.evaluation_tracking import cal_average_sRT
+    from genpose_tpu.training.agent import PoseAgent
+
+    rng = np.random.default_rng(5)
+    bs, K, keep = 3, 8, 4
+    srt = np.tile(np.identity(4), (bs, K, 1, 1))
+    for b in range(bs):
+        for k in range(K):
+            srt[b, k, :3, :3] = Rot.random(
+                random_state=int(rng.integers(1 << 30))).as_matrix()
+            srt[b, k, :3, 3] = rng.normal(size=3)
+
+    host = cal_average_sRT(srt, keep)
+
+    agent = PoseAgent(Config(num_points=32, pts_encoder="pointnet"), "score")
+    # device path consumes the 9D (col0, col1, t) vectors the runners build
+    from genpose_tpu.utils.tracking import srt_to_pose9d
+
+    pose9d = srt_to_pose9d(
+        jnp.asarray(srt[:, :keep].reshape(bs * keep, 4, 4))
+    ).reshape(bs, keep, 9)
+    _, avg = agent.aggregate_hypotheses(pose9d)
+    dev_R = np.asarray(get_rot_matrix(jnp.asarray(avg[:, :4]), "quat_wxyz"))
+    np.testing.assert_allclose(dev_R, host[:, :3, :3], atol=1e-5)
+    np.testing.assert_allclose(np.asarray(avg[:, -3:]), host[:, :3, 3],
+                               atol=1e-5)
