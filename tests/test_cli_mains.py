@@ -202,3 +202,18 @@ def test_trainer_eval_missing_model_name_fails_loudly(tree, tmp_path,
         trainer.main(["--agent_type", "score", "--eval", "true",
                       "--model_name", "999", "--data_path", nocs,
                       "--log_dir", "nockpt", "--num_workers", "1"] + COMMON)
+
+
+def test_config_tuple_flags_parse_typed():
+    """Tuple CLI flags keep element types and Optional[Tuple] fields accept
+    multiple values (review regression: --selected_classes dropped all but
+    the first value; --eval_ratios produced strings).  Lives here, NOT in
+    the native-gated module: this is pure config parsing and must not
+    vanish on hosts without g++."""
+    from genpose_tpu.config import get_config
+
+    cfg = get_config(["--eval_ratios", "0.5", "0.7",
+                      "--selected_classes", "bottle", "mug"])
+    assert cfg.eval_ratios == (0.5, 0.7)
+    assert all(isinstance(r, float) for r in cfg.eval_ratios)
+    assert cfg.selected_classes == ("bottle", "mug")

@@ -20,54 +20,15 @@ import numpy as np
 import pytest
 
 from genpose_tpu.config import Config
-from genpose_tpu.ops.pose import get_rot_matrix
 from genpose_tpu.training.agent import PoseAgent
 
-N_OBJ = 2
-BS = 16
-N_PTS = 32
+from _tiny_task import BS, N_PTS, make_batch as _make_batch, \
+    make_task, sample_errors as _sample_errors
 
 
 @pytest.fixture(scope="module")
 def task():
-    key = jax.random.PRNGKey(0)
-    k1, k2 = jax.random.split(key)
-    base = jax.random.normal(k1, (N_OBJ, N_PTS, 3)) * 0.1
-    gt_pose = jax.random.normal(k2, (N_OBJ, 9))
-    gt_pose = gt_pose.at[:, -3:].multiply(0.05)
-    return base, gt_pose
-
-
-def _make_batch(task, key):
-    base, gt_pose = task
-    idx = jax.random.randint(key, (BS,), 0, N_OBJ)
-    batch = {
-        "zero_mean_pts": base[idx],
-        "zero_mean_gt_pose": gt_pose[idx],
-        "gt_pose": gt_pose[idx],
-        "pts_center": jnp.zeros((BS, 3)),
-        "id": jnp.zeros((BS,), jnp.int32),
-        "handle_visibility": jnp.ones((BS,), jnp.int32),
-    }
-    return batch, idx
-
-
-def _rot_err_deg(pred, gt):
-    R1 = get_rot_matrix(pred[:, :-3], "rot_matrix")
-    R2 = get_rot_matrix(gt[:, :-3], "rot_matrix")
-    tr = jnp.einsum("bij,bij->b", R1, R2)
-    return jnp.degrees(jnp.arccos(jnp.clip((tr - 1.0) / 2.0, -1.0, 1.0)))
-
-
-def _sample_errors(agent, task, n_steps=50):
-    base, gt_pose = task
-    batch, idx = _make_batch(task, jax.random.PRNGKey(999))
-    pred = agent.sample(batch, jax.random.PRNGKey(5), repeat_num=1,
-                        sampler="ode", num_steps=n_steps)[:, 0]
-    gt = gt_pose[idx]
-    rot = float(_rot_err_deg(pred, gt).mean())
-    trans = float(jnp.linalg.norm(pred[:, -3:] - gt[:, -3:], axis=-1).mean())
-    return rot, trans
+    return make_task()
 
 
 def test_score_training_converges(task):

@@ -172,19 +172,32 @@ def test_bf16_geometry_indices_match_f32():
                 np.asarray(gx32.astype(jnp.bfloat16), dtype=np.float32))
 
 
-def test_pointnet2_permutation_invariance():
-    """Global feature must be invariant to point ordering given identical
-    sampling seeds... FPS depends on order, so test with a permutation that
-    maps through identically: reversing order changes FPS; instead check
-    translation equivariance: shifting the cloud changes features smoothly
-    but feature of identical clouds match exactly."""
+def test_pointnet2_batch_row_independence():
+    """PointNet++ is NOT permutation-invariant (FPS seeds at index 0 and
+    ball query keeps first-in-index-order members, like the CUDA reference)
+    — the honest per-cloud property is batch-row independence: a cloud's
+    global feature must not depend on its companions in the batch."""
     enc = Pointnet2ClsMSG(input_channels=0, config="light")
     key = jax.random.PRNGKey(4)
-    pts = jax.random.normal(key, (1, 512, 3)) * 0.1
+    pts = jax.random.normal(key, (3, 512, 3)) * 0.1
     variables = enc.init(key, pts, train=False)
-    f1 = enc.apply(variables, pts, train=False)
-    f2 = enc.apply(variables, pts, train=False)
-    np.testing.assert_allclose(np.asarray(f1), np.asarray(f2), atol=0, rtol=0)
+    f_all = enc.apply(variables, pts, train=False)
+    f_one = enc.apply(variables, pts[1:2], train=False)
+    np.testing.assert_allclose(np.asarray(f_all[1:2]), np.asarray(f_one),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_pointnet_permutation_invariance():
+    """The vanilla PointNet (per-point MLP + max pool, T-nets included) IS
+    exactly permutation-invariant — pinned bit-exactly."""
+    enc = PointNetfeat(in_dim=3, out_dim=256)
+    key = jax.random.PRNGKey(6)
+    pts = jax.random.normal(key, (2, 128, 3)) * 0.1
+    variables = enc.init(key, pts)
+    perm = jax.random.permutation(jax.random.PRNGKey(7), 128)
+    f1 = enc.apply(variables, pts)
+    f2 = enc.apply(variables, pts[:, perm])
+    np.testing.assert_array_equal(np.asarray(f1), np.asarray(f2))
 
 
 def test_pointnet_feat():

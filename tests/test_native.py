@@ -116,15 +116,3 @@ def test_sample_points_empty_cloud_returns_zeros():
         got_c = native.sample_points(empty, 16, seed=0)
         np.testing.assert_array_equal(got_c, np.zeros((16, 3), np.float32))
 
-
-def test_config_tuple_flags_parse_typed():
-    """Tuple CLI flags keep element types and Optional[Tuple] fields accept
-    multiple values (review regression: --selected_classes dropped all but
-    the first value; --eval_ratios produced strings)."""
-    from genpose_tpu.config import get_config
-
-    cfg = get_config(["--eval_ratios", "0.5", "0.7",
-                      "--selected_classes", "bottle", "mug"])
-    assert cfg.eval_ratios == (0.5, 0.7)
-    assert all(isinstance(r, float) for r in cfg.eval_ratios)
-    assert cfg.selected_classes == ("bottle", "mug")

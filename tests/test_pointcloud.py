@@ -225,8 +225,9 @@ def test_one_hot_gather_chunked_path():
     pts = jnp.asarray(rng.normal(size=(2, 64, 3)).astype(np.float32))
     idx = jnp.asarray(rng.integers(0, 64, size=(2, 256)).astype(np.int32))
     import unittest.mock as mock
-    # shrink the chunk threshold so chunking engages at test sizes
-    with mock.patch.object(pc, "one_hot_gather", wraps=pc.one_hot_gather):
+    # shrink the chunk threshold so chunking actually engages at test sizes
+    # (2*256*64*4B = 128 KiB one-hot; the production threshold is 2 GiB)
+    with mock.patch.object(pc, "_OH_CHUNK_BYTES", 16 * 1024):
         got = pc.one_hot_gather(pts, idx)
     want = jnp.take_along_axis(pts, idx[..., None], axis=1)
     np.testing.assert_array_equal(np.asarray(want), np.asarray(got))

@@ -27,6 +27,7 @@ torch = pytest.importorskip("torch")
 import jax
 import jax.numpy as jnp
 
+import _reference_bridge as rb
 from _reference_bridge import import_reference
 
 from genpose_tpu.diffusion.sde import init_sde
@@ -47,15 +48,18 @@ def ref():
         "utils.sgpa_utils",
     )
     # the reference's mAP pooling path calls .cuda() unconditionally
-    # (sgpa_utils.py:940); run it on CPU
-    torch.Tensor.cuda = lambda self, *a, **k: self
-    return {
+    # (sgpa_utils.py:940); shim it on CPU and RESTORE at teardown so later
+    # torch tests in the session are not order-dependent
+    patch = rb.Patcher()
+    patch(torch.Tensor, "cuda", lambda self, *a, **k: self)
+    yield {
         "scorenet": scorenet,
         "energynet": energynet,
         "sde": sde_mod,
         "reward": reward,
         "sgpa": sgpa,
     }
+    patch.restore()
 
 
 def _randomize(net: torch.nn.Module, seed: int = 0) -> None:
@@ -428,16 +432,7 @@ def _build_ported_gf(ref, seed: int = 29, scale: float = 0.1):
     prior_fn, marginal_prob_fn, sde_fn, eps, T = ref["sde"].init_sde("ve")
     tnet = posenet_mod.GFObjectPose(cfg, prior_fn, marginal_prob_fn, sde_fn,
                                     eps, T)
-    g = torch.Generator().manual_seed(seed)
-    with torch.no_grad():
-        for p in tnet.parameters():
-            p.copy_(torch.randn(p.shape, generator=g) * scale)
-        for m in tnet.modules():
-            if isinstance(m, (torch.nn.BatchNorm1d, torch.nn.BatchNorm2d)):
-                m.running_mean.copy_(torch.randn(m.running_mean.shape,
-                                                 generator=g) * 0.05)
-                m.running_var.copy_(
-                    1.0 + 0.1 * torch.rand(m.running_var.shape, generator=g))
+    rb.randomize_net(tnet, seed, scale)
     tnet.eval()
 
     from genpose_tpu.models.posenet import GFObjectPose
@@ -704,8 +699,8 @@ def _random_rot(rng) -> np.ndarray:
 def _make_scene(rng, n_instances: int, K: int = 5, descending_scores=True):
     """One NOCS-style result dict consumed by both compute_mAP versions."""
     cls_ids, gt_RTs, gt_scales, gt_hv, gt_bboxes = [], [], [], [], []
-    pred_ids, multi_RTs, energies, pred_scales, pred_scores, pred_bboxes = (
-        [], [], [], [], [], [])
+    pred_ids, multi_RTs, energies, pred_scales, pred_bboxes = (
+        [], [], [], [], [])
     for i in range(n_instances):
         cls_id = int(rng.randint(1, 7))
         s = float(rng.uniform(0.8, 1.2))
@@ -739,7 +734,6 @@ def _make_scene(rng, n_instances: int, K: int = 5, descending_scores=True):
         energies.append(np.sort(rng.randn(K, 2), axis=0)[::-1])
         pred_scales.append(gt_scales[-1] * rng.uniform(0.9, 1.1))
         pred_bboxes.append(box + rng.randint(-5, 5, 4))
-        pred_scores.append(0.0)  # filled below
 
     n_pred = len(pred_ids)
     if descending_scores:
@@ -870,7 +864,6 @@ def test_2d_match_deviation_documented(ref):
     unsorted input == the reference's on pre-sorted input."""
     from genpose_tpu.eval.nocs_eval import compute_2d_IoU_matches as mine
 
-    rng = np.random.RandomState(41)
     gt_ids = np.array([1, 1, 2], np.int32)
     gt_boxes = np.array([[0, 0, 50, 50], [60, 60, 120, 120], [10, 200, 80, 260]])
     pred_ids = np.array([1, 1, 2, 1], np.int32)

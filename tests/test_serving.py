@@ -39,10 +39,12 @@ def test_predict_padding_independence(pipe):
     key = jax.random.PRNGKey(2)
     short = pipe.predict(pts, key=key)
     assert short["pred_pose"].shape == (2, 7)
-    # same rows through a full batch give the same poses (per-sample
-    # sampling is independent given the same PRNG layout)
-    again = pipe.predict(pts, key=key)
-    np.testing.assert_allclose(short["pred_pose"], again["pred_pose"],
+    # the SAME two rows fed through a full batch of DIFFERENT companion
+    # rows give bit-identical poses: the fixed-step sampler treats rows
+    # independently given the same PRNG layout, so the pad rows (repeats
+    # of the last real row, serving.py) cannot contaminate real rows
+    full_out = pipe.predict(full, key=key)
+    np.testing.assert_allclose(short["pred_pose"], full_out["pred_pose"][:2],
                                atol=0, rtol=0)
 
 
