@@ -41,6 +41,15 @@ def derandomize_state(state, scale: float = 0.01, seed: int = 42):
                          ema=state.ema.replace(shadow=shadow))
 
 
+def flops_from_cost(cost) -> float:
+    """Unwrap ``compiled.cost_analysis()`` (dict, or list/tuple of dicts
+    depending on the jax version) to a flops count."""
+    if not cost:
+        return 0.0
+    c = cost[0] if isinstance(cost, (list, tuple)) else cost
+    return float(c.get("flops", 0.0))
+
+
 def carrier(leaves) -> jnp.ndarray:
     """Reduce an arbitrary pytree of stage outputs to a shape-(1,) f32
     carrier for ``time_chain``'s data-dependence chain (f32 regardless of

@@ -35,7 +35,6 @@ def main():
 
     rng = np.random.default_rng(0)
     pts = jnp.asarray(rng.normal(size=(bs, 1024, 3)).astype(np.float32) * 0.1)
-    ctr = jnp.asarray(pts[:, :512, :])
     key = jax.random.PRNGKey(7)
 
     offs = _time_chain(lambda p, k: jnp.sum(p, axis=(1, 2)), pts, key, iters,

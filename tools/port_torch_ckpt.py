@@ -29,8 +29,12 @@ def main(argv=None):
 
     try:
         jax.config.update("jax_platforms", "cpu")
-    except Exception:
-        pass
+    except Exception as e:
+        # a backend already initialized in this process: the port would
+        # dispatch pure host work over the tunnel — say so instead of
+        # failing opaquely later
+        print(f"WARNING: could not force the CPU backend ({e}); "
+              "porting will run on the default backend", file=sys.stderr)
 
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--input", required=True, help=".pth checkpoint to read")

@@ -30,7 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from genpose_tpu.utils.benchmarking import (
-    derandomize_state, peak_flops as _peak, time_chain)
+    derandomize_state, flops_from_cost, peak_flops as _peak, time_chain)
 
 
 def _time_chain(fn, pts, gt, key, iters, carrier_shape):
@@ -126,8 +126,7 @@ def main():
     cost = jax.jit(step_for_cost).lower(state, pts, gt, key).compile(
         ).cost_analysis()
     if cost:
-        c = cost[0] if isinstance(cost, (list, tuple)) else cost
-        flops = float(c.get("flops", 0.0))
+        flops = flops_from_cost(cost)
         print(json.dumps({
             "metric": "train_step_mfu",
             "value": round(flops / max(net, 1e-12) / _peak(), 4),
