@@ -12,7 +12,17 @@ from genpose_tpu.runners.serving import InferencePipeline
 def pipe():
     cfg = Config(num_points=64, batch_size=4, eval_repeat_num=3,
                  sampling_steps=4, T0=0.55)
-    return InferencePipeline(cfg).warmup()
+    p = InferencePipeline(cfg)
+    # DISTINCT weights for the two agents: fresh inits share cfg.seed, so
+    # their encoders are bit-identical and a frozen (weights-as-constants)
+    # program would let XLA CSE the energy trunk — production checkpoints
+    # differ, so the tests should exercise the un-CSE-able shape (also
+    # un-zeroes the heads, so sampling does real work)
+    from genpose_tpu.utils.benchmarking import derandomize_state
+
+    p.score_agent.state = derandomize_state(p.score_agent.state)
+    p.energy_agent.state = derandomize_state(p.energy_agent.state, seed=43)
+    return p.warmup()
 
 
 def test_predict_shapes_and_finite(pipe):
