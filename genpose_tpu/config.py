@@ -205,8 +205,11 @@ def _add_dataclass_args(parser: argparse.ArgumentParser, cls) -> None:
         default = f.default if f.default is not dataclasses.MISSING else None
         ftype = f.type if isinstance(f.type, str) else str(f.type)
         if f.type in ("bool", bool):
-            parser.add_argument(name, type=lambda s: s.lower() in ("1", "true", "yes"),
-                                default=default)
+            # accept BOTH the reference's bare store_true form (--is_train,
+            # config.py:63) and the explicit --is_train true/false form
+            parser.add_argument(
+                name, type=lambda s: s.lower() in ("1", "true", "yes"),
+                nargs="?", const=True, default=default)
         elif "Tuple" in ftype or isinstance(default, tuple):
             # element type from the default tuple, else from the annotation
             # (covers Optional[Tuple[...]] fields whose default is None —
@@ -241,7 +244,7 @@ def get_config(argv: Optional[List[str]] = None) -> Config:
     # run unchanged but ignored (device parallelism here = --num_devices
     # over a jax mesh).  Everything else is parsed STRICTLY: a typo'd flag
     # must error, not silently run a multi-hour job with default values.
-    parser.add_argument("--parallel", type=str, default=None,
+    parser.add_argument("--parallel", nargs="?", const="1", default=None,
                         help="ignored (reference compatibility)")
     parser.add_argument("--num_gpu", type=int, default=None,
                         help="ignored (reference compatibility)")

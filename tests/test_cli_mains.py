@@ -217,3 +217,62 @@ def test_config_tuple_flags_parse_typed():
     assert cfg.eval_ratios == (0.5, 0.7)
     assert all(isinstance(r, float) for r in cfg.eval_ratios)
     assert cfg.selected_classes == ("bottle", "mug")
+
+
+def _script_flags(path):
+    """Extract the --flag value pairs from a shell launch script."""
+    import re
+
+    import re
+
+    text = "\n".join(ln for ln in open(path).read().splitlines()
+                     if not ln.lstrip().startswith("#"))
+    text = re.sub(r'"?\$\{[^}]*\}"?', "/tmp/dummy", text)
+    flags = []
+    for m in re.finditer(r"--(\w+)((?:\s+(?!--)[^\s\\]+)*)", text):
+        name, vals = m.group(1), m.group(2).split()
+        flags.append("--" + name)
+        for v in vals:
+            v = v.strip("'\"")
+            if v.startswith("$"):
+                v = "/tmp/dummy"
+            flags.append(v)
+    return flags
+
+
+@pytest.mark.parametrize("script", sorted(
+    glob.glob(os.path.join(os.path.dirname(__file__), "..", "scripts",
+                           "*.sh"))))
+def test_our_script_flags_parse(script):
+    """Every launch script's flag set must survive the strict parser (a
+    script/Config drift now errors at launch; this catches it in CI)."""
+    from genpose_tpu.config import get_config
+
+    if os.path.basename(script) == "tensorboard.sh":
+        pytest.skip("tensorboard CLI, not a genpose entry point")
+    flags = _script_flags(script)
+    assert flags
+    get_config(flags)
+
+
+@pytest.mark.parametrize("script", sorted(
+    glob.glob("/root/reference/scripts/*.sh")))
+def test_reference_script_flags_parse(script):
+    """The reference's own launch scripts parse here unchanged (the config
+    shim's compatibility promise), modulo commented-out lines."""
+    import re
+
+    from genpose_tpu.config import get_config
+
+    if os.path.basename(script) == "tensorboard.sh":
+        pytest.skip("tensorboard CLI, not a genpose entry point")
+    text = "\n".join(ln for ln in open(script).read().splitlines()
+                     if not ln.lstrip().startswith("#"))
+    flags = []
+    for m in re.finditer(r"--(\w+)((?:\s+(?!--)[^\s\\]+)*)", text):
+        flags.append("--" + m.group(1))
+        for v in m.group(2).split():
+            flags.append("/tmp/dummy" if v.startswith("$") else v.strip("'\""))
+    if not flags:
+        pytest.skip("no flags")
+    get_config(flags)
