@@ -14,7 +14,8 @@ BENCH_SAMPLER=ode for the fixed-step Heun-``BENCH_STEPS`` variant.
 
 The pipeline runs FROZEN (``InferencePipeline.freeze``): weights baked into
 the XLA program as constants, exactly as a pinned-weight deployment serves —
-measured ~19% faster than passing the states as arguments (BASELINE.md r3).
+the round-3 ~19% frozen-vs-args reading was inflated by a CSE artifact
+(see the seed note below and BASELINE.md r3 CORRECTION).
 
 Baseline: the reference publishes NO throughput numbers (BASELINE.md).  The
 ``vs_baseline`` field is measured against an ESTIMATE of the torch reference
@@ -79,7 +80,7 @@ def main():
     energy_agent.state = derandomize_state(energy_agent.state, seed=43)
     # Serving deployments pin their weights, so measure the frozen program:
     # weights baked as XLA constants (BN scale/bias folded into matmuls,
-    # weight layouts pre-packed).  Measured 19.0 -> 15.4 ms/iter on v5e
+    # weight layouts pre-packed).  The round-3 19.0 -> 15.4 ms/iter A/B on v5e
     # (3x alternating A/B vs the argument-passing program, BASELINE.md r3).
     pipe.freeze()
 

@@ -102,7 +102,10 @@ class InferencePipeline:
         over instead of passed as arguments — XLA then constant-folds the
         BatchNorm scale/bias into the adjacent matmuls and pre-packs weight
         layouts at compile time.  Measured on 1x v5e at bs=64/K=50 (adaptive
-        RK45): 19.0 -> 15.4 ms/iter, a stable ~19% speedup (BASELINE.md r3).
+        RK45): the round-3 19.0 -> 15.4 ms/iter reading was inflated by a
+        benchmark CSE artifact (identical synthetic weights let XLA fold
+        the duplicate energy trunk); the honest magnitude is pending
+        re-measurement (BASELINE.md r3 CORRECTION).
         Outputs are NOT bit-identical to the argument-passing path (XLA may
         refuse/reorder fusions differently) but are the same computation.
 

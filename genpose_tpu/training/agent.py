@@ -136,7 +136,10 @@ class PoseAgent:
     def freeze(self):
         """Bake the CURRENT state into the sampling/energy programs as
         XLA constants (eval/serving-time, weights pinned): BatchNorm folds
-        into the matmuls and weight layouts pre-pack — measured ~19% on the
+        into the matmuls and weight layouts pre-pack (the round-3 ~19%
+        reading was inflated by a benchmark CSE artifact — identical
+        synthetic weights let XLA fold the energy trunk; honest magnitude
+        pending re-measure, BASELINE.md r3 CORRECTION) on the
         full serving pipeline (BASELINE.md r3; same trick as
         ``InferencePipeline.freeze``).  ``sample``/``get_energy`` use the
         frozen programs only while ``self.state`` is still the captured
