@@ -43,9 +43,33 @@ import numpy as np
 BASELINE_POSES_PER_SEC = 60.0  # estimated RTX-3090 reference throughput
 
 
+def _require_backend(timeout_s: int = 300):
+    """Fail fast if the (tunneled) backend is unreachable: a dead relay
+    makes the first device op hang indefinitely, which would stall the
+    driver's bench run for hours instead of reporting an error."""
+    import sys
+    import threading
+
+    done = threading.Event()
+
+    def probe():
+        x = jnp.ones((2, 2))
+        np.asarray(x @ x)
+        done.set()
+
+    threading.Thread(target=probe, daemon=True).start()
+    if not done.wait(timeout_s):
+        print(f"bench.py: backend unreachable after {timeout_s}s "
+              "(tunnel down?) — aborting without a metric line",
+              file=sys.stderr, flush=True)
+        os._exit(3)
+
+
 def main():
     from genpose_tpu.config import Config
     from genpose_tpu.runners.serving import InferencePipeline
+
+    _require_backend()
 
     bs = int(os.environ.get("BENCH_BATCH", "64"))
     K = int(os.environ.get("BENCH_K", "50"))
