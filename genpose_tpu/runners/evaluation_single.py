@@ -443,8 +443,8 @@ def main(argv=None):
     if cfg.score_model_dir:
         _load(score_agent, cfg.score_model_dir)
     # weights are pinned for the whole eval: bake them into the compiled
-    # programs as constants (BN folding + layout pre-packing; the round-3
-    # ~19% reading is pending re-measure, BASELINE.md r3 CORRECTION)
+    # programs as constants (BN folding + layout pre-packing — measured
+    # ~24% win on the adaptive-RK45 serving pipeline, BASELINE.md r3)
     score_agent.freeze()
     inference_pose(cfg, score_agent, seg_path, inference_res_dir, mesh=mesh)
 

@@ -160,9 +160,8 @@ def main_tracking(cfg: Config, tracking: bool = True, T0: float = 0.15):
 
     # The states are pinned for the whole tracking run, so close them over
     # as compile-time constants (same trick as InferencePipeline.freeze():
-    # BN folds into matmuls, weight layouts pre-pack (round-3 ~19% reading
-    # pending re-measure — BASELINE.md r3 CORRECTION) on the
-    # serving pipeline, BASELINE.md r3).
+    # BN folds into matmuls, weight layouts pre-pack — measured ~24% win on
+    # the adaptive-RK45 serving pipeline, BASELINE.md r3).
     s_state, e_state = score_agent.state, energy_agent.state
 
     @jax.jit

@@ -136,11 +136,9 @@ class PoseAgent:
     def freeze(self):
         """Bake the CURRENT state into the sampling/energy programs as
         XLA constants (eval/serving-time, weights pinned): BatchNorm folds
-        into the matmuls and weight layouts pre-pack (the round-3 ~19%
-        reading was inflated by a benchmark CSE artifact — identical
-        synthetic weights let XLA fold the energy trunk; honest magnitude
-        pending re-measure, BASELINE.md r3 CORRECTION) on the
-        full serving pipeline (BASELINE.md r3; same trick as
+        into the matmuls and weight layouts pre-pack — measured ~24%
+        whole-pipeline win on the adaptive-RK45 serving path
+        (bench_evidence/onchip_r3/, BASELINE.md r3; same trick as
         ``InferencePipeline.freeze``).  ``sample``/``get_energy`` use the
         frozen programs only while ``self.state`` is still the captured
         object; re-call after loading a different checkpoint."""

@@ -223,8 +223,6 @@ def _script_flags(path):
     """Extract the --flag value pairs from a shell launch script."""
     import re
 
-    import re
-
     text = "\n".join(ln for ln in open(path).read().splitlines()
                      if not ln.lstrip().startswith("#"))
     text = re.sub(r'"?\$\{[^}]*\}"?', "/tmp/dummy", text)
