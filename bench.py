@@ -14,8 +14,8 @@ BENCH_SAMPLER=ode for the fixed-step Heun-``BENCH_STEPS`` variant.
 
 The pipeline runs FROZEN (``InferencePipeline.freeze``): weights baked into
 the XLA program as constants, exactly as a pinned-weight deployment serves —
-the round-3 ~19% frozen-vs-args reading was inflated by a CSE artifact
-(see the seed note below and BASELINE.md r3 CORRECTION).
+measured ~24% over the args program with distinct-seed agents (the seed
+note below; bench_evidence/onchip_r3/, BASELINE.md r3).
 
 Baseline: the reference publishes NO throughput numbers (BASELINE.md).  The
 ``vs_baseline`` field is measured against an ESTIMATE of the torch reference
@@ -104,8 +104,9 @@ def main():
     energy_agent.state = derandomize_state(energy_agent.state, seed=43)
     # Serving deployments pin their weights, so measure the frozen program:
     # weights baked as XLA constants (BN scale/bias folded into matmuls,
-    # weight layouts pre-packed).  The round-3 19.0 -> 15.4 ms/iter A/B on v5e
-    # (3x alternating A/B vs the argument-passing program, BASELINE.md r3).
+    # weight layouts pre-packed) — ~24% over the args program (BASELINE.md
+    # r3, bench_evidence/onchip_r3/).  tests/test_serving.py's
+    # test_frozen_flops_cse_canary guards the program shape.
     pipe.freeze()
 
     rng = np.random.default_rng(0)

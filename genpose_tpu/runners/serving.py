@@ -102,10 +102,8 @@ class InferencePipeline:
         over instead of passed as arguments — XLA then constant-folds the
         BatchNorm scale/bias into the adjacent matmuls and pre-packs weight
         layouts at compile time.  Measured on 1x v5e at bs=64/K=50 (adaptive
-        RK45): the round-3 19.0 -> 15.4 ms/iter reading was inflated by a
-        benchmark CSE artifact (identical synthetic weights let XLA fold
-        the duplicate energy trunk); the honest magnitude is pending
-        re-measurement (BASELINE.md r3 CORRECTION).
+        RK45, distinct-seed agents): ~24% whole-pipeline win, 3277 -> 4073
+        poses/s (bench_evidence/onchip_r3/, BASELINE.md r3).
         Outputs are NOT bit-identical to the argument-passing path (XLA may
         refuse/reorder fusions differently) but are the same computation.
 

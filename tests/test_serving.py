@@ -149,3 +149,84 @@ def test_freeze_matches_unfrozen(pipe):
                                        rtol=2e-4, atol=2e-4)
     finally:
         pipe._run_frozen = None
+
+
+def test_sharded_serving_program_actually_partitions():
+    """Same anti-replication guard for the serving pipeline: under the
+    8-device dp mesh the compiled program must do ~1/8 the FLOPs per device
+    (a silent fallback to replication passes every equivalence test)."""
+    from genpose_tpu.parallel.mesh import make_mesh, shard_batch
+    from genpose_tpu.utils.benchmarking import flops_from_cost
+
+    mesh = make_mesh(8)
+    cfg = Config(num_points=64, batch_size=8, eval_repeat_num=3,
+                 sampling_steps=4, T0=0.55)
+    sharded = InferencePipeline(cfg, mesh=mesh)
+    plain = InferencePipeline(cfg)
+
+    rng = np.random.default_rng(7)
+    pts = rng.normal(size=(8, 64, 3)).astype(np.float32) * 0.1
+    key = jax.random.PRNGKey(3)
+    spts = shard_batch(mesh, {"pts": jax.numpy.asarray(pts)})["pts"]
+
+    comp_m = sharded._run.lower(sharded.score_agent.state,
+                                sharded.energy_agent.state, spts, key).compile()
+    comp_1 = plain._run.lower(plain.score_agent.state,
+                              plain.energy_agent.state,
+                              jax.numpy.asarray(pts), key).compile()
+    fm = flops_from_cost(comp_m.cost_analysis())
+    f1 = flops_from_cost(comp_1.cost_analysis())
+    assert f1 > 0 and fm > 0
+    ratio = fm / f1
+    assert ratio < 0.25, (
+        f"per-device serving FLOPs {ratio:.3f} of unsharded — the batch is "
+        f"being replicated instead of partitioned (expected ~1/8)")
+
+
+def test_frozen_flops_cse_canary():
+    """Regression test for the round-3 benchmark-integrity bug: when the
+    score and energy agents hold IDENTICAL encoder weights (both init from
+    PRNGKey(cfg.seed); a same-seed derandomization preserves that), the
+    frozen weights-as-constants program lets XLA CSE the entire duplicate
+    energy trunk — compiled FLOPs collapse and any throughput measured on it
+    is inflated vs a real deployment with distinct checkpoints.
+
+    Pins both directions (measured on the CPU mesh: distinct = 0.995x args,
+    same-seed = 0.505x distinct):
+      1. with DISTINCT weights the frozen program does ~the args program's
+         FLOPs (freezing must not silently drop compute), and
+      2. with IDENTICAL weights the FLOPs DO collapse — proving the canary
+         detects the artifact it guards against.
+    """
+    from genpose_tpu.utils.benchmarking import derandomize_state, flops_from_cost
+
+    cfg = Config(num_points=64, batch_size=4, eval_repeat_num=3,
+                 sampling_steps=4, T0=0.55)
+    p = InferencePipeline(cfg)
+    ss0, es0 = p.score_agent.state, p.energy_agent.state
+    key = jax.random.PRNGKey(0)
+    pts = jax.numpy.asarray(
+        np.random.default_rng(0).normal(size=(4, 64, 3)).astype(np.float32) * 0.1)
+
+    f_args = flops_from_cost(
+        p._run.lower(ss0, es0, pts, key).compile().cost_analysis())
+
+    p.score_agent.state = derandomize_state(ss0, seed=42)
+    p.energy_agent.state = derandomize_state(es0, seed=43)
+    f_distinct = flops_from_cost(
+        p.freeze()._run_frozen.lower(pts, key).compile().cost_analysis())
+
+    p.energy_agent.state = derandomize_state(es0, seed=42)  # encoder == score's
+    f_same = flops_from_cost(
+        p.freeze()._run_frozen.lower(pts, key).compile().cost_analysis())
+
+    assert f_args > 0 and f_distinct > 0 and f_same > 0
+    assert f_distinct > 0.9 * f_args, (
+        f"frozen program with distinct weights dropped to "
+        f"{f_distinct / f_args:.3f}x the args program's FLOPs — XLA is "
+        f"folding away real serving compute; benchmark numbers from this "
+        f"program would be inflated")
+    assert f_same < 0.7 * f_distinct, (
+        f"identical-weight frozen program reads {f_same / f_distinct:.3f}x "
+        f"the distinct-weight FLOPs — the canary no longer detects the "
+        f"duplicate-trunk CSE it guards against")

@@ -496,3 +496,38 @@ def test_agent_freeze_matches_unfrozen():
     changed = np.asarray(agent.sample(batch, jax.random.PRNGKey(2),
                                       repeat_num=3, sampler="ode", num_steps=4))
     assert not np.allclose(changed, base)
+
+
+def test_sharded_train_step_actually_partitions():
+    """Anti-replication program-shape guard (the multi-chip analogue of the
+    round-3 CSE lesson): numeric-equivalence tests would still pass if the
+    sharded step silently replicated the whole batch on every device, so
+    assert the COMPILED program's shape instead — (a) it contains a
+    cross-device gradient all-reduce, and (b) its per-device FLOPs are
+    ~1/8 of the unsharded step's (measured 0.126 on the 8-device CPU mesh;
+    the psum adds <1% at these shapes)."""
+    from genpose_tpu.parallel.mesh import make_mesh, shard_batch
+    from genpose_tpu.training.agent import PoseAgent
+    from genpose_tpu.utils.benchmarking import flops_from_cost
+
+    assert jax.device_count() >= 8
+    mesh = make_mesh(8)
+    cfg = _tiny_cfg(batch_size=8)
+    batch = _make_batch(cfg, jax.random.PRNGKey(13), bs=8)
+    key = jax.random.PRNGKey(14)
+
+    sharded = PoseAgent(cfg, "score", steps_per_epoch=4, mesh=mesh)
+    plain = PoseAgent(cfg, "score", steps_per_epoch=4)
+    comp_m = sharded._train_step_score.lower(
+        sharded.state, shard_batch(mesh, batch), key).compile()
+    comp_1 = plain._train_step_score.lower(plain.state, batch, key).compile()
+
+    assert "all-reduce" in comp_m.as_text(), (
+        "sharded train step compiled without a gradient all-reduce")
+    fm = flops_from_cost(comp_m.cost_analysis())
+    f1 = flops_from_cost(comp_1.cost_analysis())
+    assert f1 > 0 and fm > 0
+    ratio = fm / f1
+    assert ratio < 0.2, (
+        f"per-device FLOPs {ratio:.3f} of unsharded — batch work is being "
+        f"replicated instead of partitioned (expected ~1/8)")

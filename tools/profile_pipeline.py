@@ -120,9 +120,12 @@ def main():
                           "value": round(1e3 * times[name], 3)}), flush=True)
 
     order = [n for n, _, _ in prefixes]
+    # the prefix_energy -> prefix_full_pipeline residual is the ranking +
+    # top-60% quaternion-pooling tail, not "the full pipeline"
+    stage_name = {"full_pipeline": "rank_pool"}
     for prev, cur in zip(order[:-1], order[1:]):
         print(json.dumps({
-            "metric": f"stage_{cur}_ms",
+            "metric": f"stage_{stage_name.get(cur, cur)}_ms",
             "value": round(1e3 * (times[cur] - times[prev]), 3),
         }), flush=True)
 
