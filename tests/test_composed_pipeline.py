@@ -188,6 +188,34 @@ def composed(tmp_path_factory):
         es.evaluate(ref_dir, "results_near_gt.pkl")
         ours.evaluate(our_cfg, our_dir, "results_near_gt.pkl")
 
+        # ---- third stage-4 pass at a SECOND protocol point (VERDICT r3
+        # #8): gt_ranker + nearest pooling + keep-ratio 0.3, on the same
+        # near-GT hypotheses — exercises the other ranking/pooling branches
+        # of ``sgpa_utils.py:897-954`` composed end-to-end.  The reference
+        # hardcodes the ratio sweep as ``np.linspace(0.6, 0.6, 1)``
+        # (``evaluation_single.py:534``); nothing else in its eval path
+        # calls np.linspace, so shim that one call around the run.
+        import dataclasses
+
+        es.cfg.pooling_mode, es.cfg.ranker = "nearest", "gt_ranker"
+        orig_linspace = np.linspace
+
+        def _ratio_linspace(*a, **kw):
+            if tuple(a[:3]) == (0.6, 0.6, 1):
+                return orig_linspace(0.3, 0.3, 1)
+            return orig_linspace(*a, **kw)
+
+        np.linspace = _ratio_linspace
+        try:
+            es.evaluate(ref_dir, "results_near_gt.pkl")
+        finally:
+            np.linspace = orig_linspace
+            es.cfg.pooling_mode, es.cfg.ranker = "average", "energy_ranker"
+        cfg2 = dataclasses.replace(
+            our_cfg, pooling_mode="nearest", ranker="gt_ranker",
+            eval_ratios=(0.3,))
+        ours.evaluate(cfg2, our_dir, "results_near_gt.pkl")
+
         yield {"ref_dir": ref_dir, "our_dir": our_dir, "cfg": our_cfg,
                "seg_path": seg_path, "ref_seg_path": ref_seg_path}
     finally:
@@ -264,22 +292,27 @@ def _table_lines(log_dir, name):
     return [ln for ln in lines if any(k in ln for k in keep)]
 
 
-def test_composed_map_tables_identical(composed):
+@pytest.mark.parametrize("pooling,ranker", [
+    ("average", "energy_ranker"),   # the reference's released protocol
+    ("nearest", "gt_ranker"),       # second protocol point, ratio 0.3
+])
+def test_composed_map_tables_identical(composed, pooling, ranker):
     """Stage 4 composition: the final eval_logs tables (mean + per-class,
     mAP and Acc at the four headline thresholds) are IDENTICAL between the
-    reference's ``evaluate`` and ours."""
-    ref_logs = os.path.join(composed["ref_dir"], "results", "average",
-                            "energy_ranker")
-    our_logs = os.path.join(composed["our_dir"], "results", "average",
-                            "energy_ranker")
+    reference's ``evaluate`` and ours — at the released protocol
+    (energy_ranker + average pooling + ratio 0.6) AND at a second protocol
+    point (gt_ranker + nearest pooling + ratio 0.3) that exercises the
+    other ``sort_sRT_by_energy`` branches (``sgpa_utils.py:897-954``)."""
+    ref_logs = os.path.join(composed["ref_dir"], "results", pooling, ranker)
+    our_logs = os.path.join(composed["our_dir"], "results", pooling, ranker)
     for name in ("eval_logs.txt", "eval_logs_single_cls.txt"):
         ref_tbl = _table_lines(ref_logs, name)
         our_tbl = _table_lines(our_logs, name)
         assert len(ref_tbl) > 0, name
         assert ref_tbl == our_tbl, (name, ref_tbl, our_tbl)
-    # non-degeneracy: the near-GT pass (second table appended to the same
-    # logs) must produce at least one strictly positive AP/Acc entry, so the
-    # equality above is not an all-zeros-vs-all-zeros vacuity
+    # non-degeneracy: the near-GT pass must produce at least one strictly
+    # positive AP/Acc entry, so the equality above is not an
+    # all-zeros-vs-all-zeros vacuity
     vals = [float(ln.rsplit(":", 1)[1]) for ln in
             _table_lines(ref_logs, "eval_logs.txt") if "degree" in ln]
     assert any(v > 0.0 for v in vals), vals
