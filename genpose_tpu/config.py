@@ -145,6 +145,29 @@ class Config:
     # `--gather_fwd exact` restores bit-exact f32 training gathers.  No-op
     # for bf16 compute where DEFAULT is already exact.
     gather_fwd: str = "fast"
+    # BatchNorm compute dtype inside the encoder SharedMLPs: "compute"
+    # follows compute_dtype; "float32" normalizes (batch statistics AND the
+    # scale/shift) in f32 and casts back.  MEASURED FINDING (round 4): on
+    # this flax version the knob is BIT-IDENTICAL to bf16 BN — flax already
+    # computes BatchNorm statistics and arithmetic in f32 and only casts the
+    # output (pinned by tests/test_precision_knobs.py), so BN precision is
+    # excluded as the cause of the r3 bf16 rotation-learning failure.  Kept
+    # as insurance against flax changing that behavior.
+    bn_dtype: str = "compute"
+    # Dtype of the PointNet++ grouped-coordinate geometry (sa_geometry):
+    # "compute" follows compute_dtype (bf16 pipelines gather bf16-rounded
+    # coordinates in one MXU pass — the serving default, BASELINE.md r2);
+    # "float32" keeps the exact 6-pass f32 gathers and f32 centered offsets
+    # even under bf16 compute (they are rounded once at the first SharedMLP
+    # matmul instead of pre-rounded at the gather).  Added for the round-4
+    # bf16-training sweep.  No-op when compute_dtype is float32.
+    geometry_dtype: str = "compute"
+    # Run the FIRST N PointNet++ SA stages (matmuls + their inline geometry,
+    # unless geometry_dtype overrides) in f32 while the rest follow
+    # compute_dtype — the bisection knob for WHERE bf16 training loses the
+    # rotation signal (early stages handle raw fine-grained coordinates;
+    # late stages carry most of the FLOPs).  0 = all stages at compute_dtype.
+    encoder_f32_stages: int = 0
 
     # ---- testing ----
     eval: bool = False
@@ -188,10 +211,15 @@ class Config:
                               ("head_dtype", ("compute", "float32")),
                               ("loader_mode", ("thread", "process")),
                               ("gather_grad", ("exact", "fast")),
-                              ("gather_fwd", ("exact", "fast"))):
+                              ("gather_fwd", ("exact", "fast")),
+                              ("bn_dtype", ("compute", "float32")),
+                              ("geometry_dtype", ("compute", "float32"))):
             val = getattr(self, name)
             if val not in allowed:
                 raise ValueError(f"{name}={val!r} not in {allowed}")
+        if not 0 <= self.encoder_f32_stages <= 5:
+            raise ValueError(
+                f"encoder_f32_stages={self.encoder_f32_stages} not in [0, 5]")
 
     def replace(self, **kwargs) -> "Config":
         return dataclasses.replace(self, **kwargs)

@@ -81,9 +81,15 @@ class SharedMLP(nn.Module):
     use_bn: bool = True
     bn_axis_name: str | None = None
     dtype: jnp.dtype = jnp.float32
+    # BatchNorm compute dtype; None follows ``dtype``.  jnp.float32 runs the
+    # normalization (statistics + scale/shift) in f32 and casts the result
+    # back to ``dtype`` — mixed-precision hygiene knob for bf16 training
+    # (``bn_dtype`` config; BASELINE.md r4 sweep).
+    bn_dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        bdt = self.dtype if self.bn_dtype is None else self.bn_dtype
         for i, f in enumerate(self.features):
             x = nn.Dense(f, use_bias=not self.use_bn, dtype=self.dtype,
                          name=f"dense_{i}")(x)
@@ -94,9 +100,9 @@ class SharedMLP(nn.Module):
                     momentum=0.9,
                     epsilon=1e-5,
                     axis_name=self.bn_axis_name if train else None,
-                    dtype=self.dtype,
+                    dtype=bdt,
                     name=f"bn_{i}",
-                )(x)
+                )(x.astype(bdt)).astype(self.dtype)
             x = nn.relu(x)
         return x
 

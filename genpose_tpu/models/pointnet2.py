@@ -142,20 +142,23 @@ def sa_geometry(xyz, npoint, radii, nsamples, dtype=jnp.float32):
     return {"new_xyz": new_xyz, "gidx": gidx, "grouped_xyz": grouped_xyz}
 
 
-def cls_msg_geometry(pointcloud, config: str = "light", dtype=jnp.float32):
+def cls_msg_geometry(pointcloud, config: str = "light", dtype=jnp.float32,
+                     f32_stages: int = 0):
     """Per-stage :func:`sa_geometry` list for :class:`Pointnet2ClsMSG`.
 
     The coordinate chain (xyz -> FPS centers -> ...) never depends on
     features/weights, so the whole list is encoder-parameter-free.
     ``dtype`` must match the consuming encoders' compute dtype (see
-    :func:`sa_geometry`).
+    :func:`sa_geometry`); ``f32_stages`` mirrors the encoder's
+    ``f32_stages`` (the first N stages' geometry stays f32).
     """
     params = CLS_MSG_CONFIGS[config]
     xyz = pointcloud[..., :3]
     geoms = []
     for k in range(len(params["NPOINTS"])):
+        sdt = jnp.float32 if k < f32_stages else dtype
         g = sa_geometry(xyz, params["NPOINTS"][k], params["RADIUS"][k],
-                        params["NSAMPLE"][k], dtype=dtype)
+                        params["NSAMPLE"][k], dtype=sdt)
         geoms.append(g)
         xyz = g["new_xyz"]  # None after the final GroupAll stage
     return geoms
@@ -176,6 +179,14 @@ class PointnetSAModuleMSG(nn.Module):
     use_bn: bool = True
     bn_axis_name: Optional[str] = None
     dtype: jnp.dtype = jnp.float32
+    # BatchNorm compute dtype for the SharedMLPs; None follows ``dtype``
+    # (``bn_dtype`` config knob — f32 BN under bf16 compute)
+    bn_dtype: Optional[jnp.dtype] = None
+    # dtype of the inline sa_geometry (grouped coordinates); None follows
+    # ``dtype`` (``geometry_dtype`` config knob — f32 exact gathers under
+    # bf16 compute).  Precomputed ``geometry`` must be built with the SAME
+    # dtype for the shared-geometry bit-exactness guarantee to hold.
+    geometry_dtype: Optional[jnp.dtype] = None
     # single-MXU-pass scatter-add backward for the FEATURE gathers (forward
     # numerics unchanged; gradients bf16-rounded per contribution — see
     # ``ops/pointcloud.py::_row_gather_fast_bwd``)
@@ -203,8 +214,9 @@ class PointnetSAModuleMSG(nn.Module):
         Returns (new_xyz [B, npoint, 3] or None, new_features [B, npoint, sum C_out]).
         """
         if geometry is None:
+            gdt = self.dtype if self.geometry_dtype is None else self.geometry_dtype
             geometry = sa_geometry(xyz, self.npoint, self.radii, self.nsamples,
-                                   dtype=self.dtype)
+                                   dtype=gdt)
         new_xyz = geometry["new_xyz"]
 
         outs = []
@@ -234,8 +246,8 @@ class PointnetSAModuleMSG(nn.Module):
 
             h = SharedMLP(
                 tuple(mlp), use_bn=self.use_bn, bn_axis_name=self.bn_axis_name,
-                dtype=self.dtype, name=f"mlp_{i}",
-            )(g, train=train)
+                dtype=self.dtype, bn_dtype=self.bn_dtype, name=f"mlp_{i}",
+            )(g.astype(self.dtype), train=train)
             outs.append(jnp.max(h, axis=2))  # max-pool over the sample axis
 
         return new_xyz, jnp.concatenate(outs, axis=-1)
@@ -350,6 +362,12 @@ class Pointnet2ClsMSG(nn.Module):
     use_bn: bool = True
     bn_axis_name: Optional[str] = None
     dtype: jnp.dtype = jnp.float32
+    bn_dtype: Optional[jnp.dtype] = None  # see PointnetSAModuleMSG
+    geometry_dtype: Optional[jnp.dtype] = None  # see PointnetSAModuleMSG
+    # run the first N SA stages fully in f32 (matmuls + inline geometry
+    # unless geometry_dtype overrides) — the bf16-training bisection knob
+    # (``encoder_f32_stages`` config)
+    f32_stages: int = 0
     fast_grad_gathers: bool = False  # see PointnetSAModuleMSG
     fast_fwd_gathers: bool = False  # see PointnetSAModuleMSG
 
@@ -366,6 +384,7 @@ class Pointnet2ClsMSG(nn.Module):
 
         for k in range(len(params["NPOINTS"])):
             mlps: List[List[int]] = [list(m) for m in params["MLPS"][k]]
+            sdt = jnp.float32 if k < self.f32_stages else self.dtype
             xyz_new, features = PointnetSAModuleMSG(
                 npoint=params["NPOINTS"][k],
                 radii=tuple(params["RADIUS"][k]),
@@ -374,7 +393,10 @@ class Pointnet2ClsMSG(nn.Module):
                 use_xyz=True,
                 use_bn=self.use_bn,
                 bn_axis_name=self.bn_axis_name,
-                dtype=self.dtype,
+                dtype=sdt,
+                bn_dtype=self.bn_dtype,
+                geometry_dtype=(self.geometry_dtype
+                                if self.geometry_dtype is not None else sdt),
                 fast_grad_gathers=self.fast_grad_gathers,
                 fast_fwd_gathers=self.fast_fwd_gathers,
                 name=f"sa_{k}",

@@ -47,6 +47,17 @@ class GFObjectPose(nn.Module):
     decoder_head: bool = False
     bn_axis_name: str | None = None
     dtype: jnp.dtype = jnp.float32
+    # BatchNorm compute dtype inside the PointNet++ SharedMLPs; None follows
+    # ``dtype`` (``bn_dtype`` config knob — f32 BN under bf16 compute; r4
+    # mixed-precision sweep, BASELINE.md).
+    bn_dtype: jnp.dtype | None = None
+    # dtype of the PointNet++ grouped-coordinate geometry; None follows
+    # ``dtype`` (``geometry_dtype`` config knob).  Must match the dtype any
+    # PRECOMPUTED geometry was built with (``PoseAgent.pts_geometry`` keeps
+    # them in sync).
+    geometry_dtype: jnp.dtype | None = None
+    # first N PointNet++ SA stages fully f32 (``encoder_f32_stages`` knob)
+    f32_stages: int = 0
     # Compute dtype for the pose/time heads; None = follow ``dtype``.
     # Added while investigating bf16 mixed-precision TRAINING: all-bf16
     # training stalls rotation learning at full model size (on-chip check:
@@ -71,6 +82,8 @@ class GFObjectPose(nn.Module):
             self.encoder = Pointnet2ClsMSG(
                 input_channels=0, config=self.pointnet2_params,
                 bn_axis_name=self.bn_axis_name, dtype=self.dtype,
+                bn_dtype=self.bn_dtype, geometry_dtype=self.geometry_dtype,
+                f32_stages=self.f32_stages,
                 fast_grad_gathers=self.fast_grad_gathers,
                 fast_fwd_gathers=self.fast_fwd_gathers)
         elif self.pts_encoder == "pointnet_and_pointnet2":
@@ -78,6 +91,8 @@ class GFObjectPose(nn.Module):
             self.encoder_pn2 = Pointnet2ClsMSG(
                 input_channels=0, config=self.pointnet2_params,
                 bn_axis_name=self.bn_axis_name, dtype=self.dtype,
+                bn_dtype=self.bn_dtype, geometry_dtype=self.geometry_dtype,
+                f32_stages=self.f32_stages,
                 fast_grad_gathers=self.fast_grad_gathers,
                 fast_fwd_gathers=self.fast_fwd_gathers)
             self.fusion_layer = nn.Dense(1024, dtype=self.dtype)

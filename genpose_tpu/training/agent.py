@@ -73,6 +73,8 @@ class PoseAgent:
 
         dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
         head_dtype = jnp.float32 if cfg.head_dtype == "float32" else None
+        bn_dtype = jnp.float32 if cfg.bn_dtype == "float32" else None
+        geometry_dtype = jnp.float32 if cfg.geometry_dtype == "float32" else None
         self.model = GFObjectPose(
             marginal_prob_fn=self.sde.marginal_prob,
             pose_mode=cfg.pose_mode,
@@ -89,6 +91,9 @@ class PoseAgent:
             fast_fwd_gathers=cfg.gather_fwd == "fast",
             dtype=dtype,
             head_dtype=head_dtype,
+            bn_dtype=bn_dtype,
+            geometry_dtype=geometry_dtype,
+            f32_stages=cfg.encoder_f32_stages,
         )
 
         key = jax.random.PRNGKey(cfg.seed if seed is None else seed)
@@ -188,8 +193,13 @@ class PoseAgent:
         if self.cfg.pts_encoder in ("pointnet2", "pointnet_and_pointnet2"):
             from genpose_tpu.models.pointnet2 import cls_msg_geometry
 
+            gdt = (self.model.dtype if self.model.geometry_dtype is None
+                   else self.model.geometry_dtype)
             return cls_msg_geometry(pts, self.cfg.pointnet2_params,
-                                    dtype=self.model.dtype)
+                                    dtype=gdt,
+                                    f32_stages=(0 if self.model.geometry_dtype
+                                                is not None
+                                                else self.model.f32_stages))
         return None
 
     def _head_projs(self, variables, feat, repeat: int = 1):

@@ -78,3 +78,37 @@ def time_chain(fn, pts, key, iters: int, carrier_shape) -> float:
     t0 = time.perf_counter()
     np.asarray(chained(pts, key, jnp.int32(iters)))
     return (time.perf_counter() - t0) / iters
+
+
+def time_chain_marginal(fn, pts, key, iters: int, carrier_shape):
+    """Marginal seconds/iteration: the ``time_chain`` program timed at n and
+    2n trips (same executable — the trip count is traced), returning
+    ``((t_2n - t_n) / n, envelope_s)`` where the envelope is the fixed
+    per-dispatch cost (tunnel RPC + host sync + transfers) that the
+    difference cancels.  At large batch the envelope is negligible next to
+    compute, but at bs=1 it DOMINATES a plain ``time_chain`` reading
+    (measured round 4: ~6 ms/iter of "offset" at 8 iterations = a ~48 ms
+    fixed envelope — stage deltas went negative); marginal timing is the
+    honest per-iteration device time there."""
+
+    @jax.jit
+    def chained(pts, key, n):
+        def it(i, carry):
+            p = pts + 1e-12 * jnp.sum(carry)
+            return jnp.asarray(fn(p, jax.random.fold_in(key, i)), jnp.float32)
+        return jax.lax.fori_loop(0, n, it, jnp.zeros(carrier_shape))
+
+    np.asarray(chained(pts, key, jnp.int32(iters)))  # compile+warm sync
+
+    def run(n):
+        t0 = time.perf_counter()
+        np.asarray(chained(pts, key, jnp.int32(n)))
+        return time.perf_counter() - t0
+
+    # interleave and keep the min of each arm: the tunnel's per-dispatch
+    # jitter is one-sided (delays), so min-of-3 is the cleanest estimator
+    t1 = min(run(iters) for _ in range(3))
+    t2 = min(run(2 * iters) for _ in range(3))
+    per_iter = (t2 - t1) / iters
+    envelope = max(t1 - per_iter * iters, 0.0)
+    return per_iter, envelope

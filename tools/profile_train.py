@@ -52,6 +52,8 @@ def main():
     cfg = Config(num_points=npts, batch_size=bs, repeat_num=repeat,
                  compute_dtype=dtype,
                  head_dtype=os.environ.get("HEAD_DTYPE", "compute"),
+                 bn_dtype=os.environ.get("BN_DTYPE", "compute"),
+                 geometry_dtype=os.environ.get("GEOM_DTYPE", "compute"),
                  gather_grad=os.environ.get("GATHER_GRAD", "exact"),
                  gather_fwd=os.environ.get("GATHER_FWD", "exact"))
     agent = PoseAgent(cfg, "score")

@@ -35,8 +35,15 @@ cfg = Config(num_points=1024, repeat_num=20, batch_size=BS, lr=1e-3,
              warmup=100,
              compute_dtype=os.environ.get("TRAIN_DTYPE", "float32"),
              head_dtype=os.environ.get("HEAD_DTYPE", "compute"),
+             bn_dtype=os.environ.get("BN_DTYPE", "compute"),
+             geometry_dtype=os.environ.get("GEOM_DTYPE", "compute"),
+             encoder_f32_stages=int(os.environ.get("F32_STAGES", "0")),
              gather_grad=os.environ.get("GATHER_GRAD", "exact"),
              gather_fwd=os.environ.get("GATHER_FWD", "exact"))
+print(f"config: compute={cfg.compute_dtype} head={cfg.head_dtype} "
+      f"bn={cfg.bn_dtype} geom={cfg.geometry_dtype} "
+      f"f32_stages={cfg.encoder_f32_stages} "
+      f"gathers={cfg.gather_fwd}/{cfg.gather_grad}", flush=True)
 agent = PoseAgent(cfg, "score", steps_per_epoch=100)
 
 
