@@ -15,6 +15,7 @@ import glob
 import json
 import os
 import pickle
+import re
 
 import numpy as np
 import pytest
@@ -221,8 +222,6 @@ def test_config_tuple_flags_parse_typed():
 
 def _script_flags(path):
     """Extract the --flag value pairs from a shell launch script."""
-    import re
-
     text = "\n".join(ln for ln in open(path).read().splitlines()
                      if not ln.lstrip().startswith("#"))
     text = re.sub(r'"?\$\{[^}]*\}"?', "/tmp/dummy", text)
@@ -258,8 +257,6 @@ def test_our_script_flags_parse(script):
 def test_reference_script_flags_parse(script):
     """The reference's own launch scripts parse here unchanged (the config
     shim's compatibility promise), modulo commented-out lines."""
-    import re
-
     from genpose_tpu.config import get_config
 
     if os.path.basename(script) == "tensorboard.sh":
