@@ -13,9 +13,10 @@ the reference's released eval path (``scripts/eval_single.sh`` sets no
 BENCH_SAMPLER=ode for the fixed-step Heun-``BENCH_STEPS`` variant.
 
 The pipeline runs FROZEN (``InferencePipeline.freeze``): weights baked into
-the XLA program as constants, exactly as a pinned-weight deployment serves —
-measured ~24% over the args program with distinct-seed agents (the seed
-note below; bench_evidence/onchip_r3/, BASELINE.md r3).
+the XLA program as constants, exactly as a pinned-weight deployment serves.
+Round-4 same-session A/B: freezing itself is within noise (+0.1-0.8%) —
+the pipeline is measured frozen because that is the deployment shape, not
+for speed (bench_evidence/onchip_r4/freeze_ab_*.jsonl, BASELINE.md r4).
 
 Baseline: the reference publishes NO throughput numbers (BASELINE.md).  The
 ``vs_baseline`` field is measured against an ESTIMATE of the torch reference
@@ -102,10 +103,9 @@ def main():
     # compiled FLOPs halve), inflating the measured throughput vs any real
     # deployment whose checkpoints differ.
     energy_agent.state = derandomize_state(energy_agent.state, seed=43)
-    # Serving deployments pin their weights, so measure the frozen program:
-    # weights baked as XLA constants (BN scale/bias folded into matmuls,
-    # weight layouts pre-packed) — ~24% over the args program (BASELINE.md
-    # r3, bench_evidence/onchip_r3/).  tests/test_serving.py's
+    # Serving deployments pin their weights, so measure the frozen program
+    # (the deployment shape; round-4 A/B puts the freeze win itself within
+    # noise — BASELINE.md r4).  tests/test_serving.py's
     # test_frozen_flops_cse_canary guards the program shape.
     pipe.freeze()
 

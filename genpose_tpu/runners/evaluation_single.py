@@ -443,8 +443,8 @@ def main(argv=None):
     if cfg.score_model_dir:
         _load(score_agent, cfg.score_model_dir)
     # weights are pinned for the whole eval: bake them into the compiled
-    # programs as constants (BN folding + layout pre-packing — measured
-    # ~24% win on the adaptive-RK45 serving pipeline, BASELINE.md r3)
+    # programs as constants (within noise vs state-as-argument per the
+    # round-4 A/B, BASELINE.md r4; never slower, skips state marshaling)
     score_agent.freeze()
     inference_pose(cfg, score_agent, seg_path, inference_res_dir, mesh=mesh)
 

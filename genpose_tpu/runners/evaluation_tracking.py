@@ -159,9 +159,9 @@ def main_tracking(cfg: Config, tracking: bool = True, T0: float = 0.15):
     sampler = cfg.sampler_mode[0] if cfg.sampler_mode else "ode"
 
     # The states are pinned for the whole tracking run, so close them over
-    # as compile-time constants (same trick as InferencePipeline.freeze():
-    # BN folds into matmuls, weight layouts pre-pack — measured ~24% win on
-    # the adaptive-RK45 serving pipeline, BASELINE.md r3).
+    # as compile-time constants (same trick as InferencePipeline.freeze();
+    # within noise vs state-as-argument per the round-4 A/B, BASELINE.md r4,
+    # but never slower and skips per-dispatch state marshaling).
     s_state, e_state = score_agent.state, energy_agent.state
 
     @jax.jit

@@ -99,11 +99,14 @@ class InferencePipeline:
         """Bake the CURRENT weights into the compiled program as constants.
 
         Serving weights are fixed at deployment, so the states can be closed
-        over instead of passed as arguments — XLA then constant-folds the
-        BatchNorm scale/bias into the adjacent matmuls and pre-packs weight
-        layouts at compile time.  Measured on 1x v5e at bs=64/K=50 (adaptive
-        RK45, distinct-seed agents): ~24% whole-pipeline win, 3277 -> 4073
-        poses/s (bench_evidence/onchip_r3/, BASELINE.md r3).
+        over instead of passed as arguments, letting XLA treat them as
+        compile-time constants.  Measured on 1x v5e at bs=64/K=50
+        (same-session A/B, distinct-seed agents, round 4): within noise —
+        +0.14% adaptive RK45, +0.83% Heun-500 (XLA lowers loop-invariant
+        weight ARGUMENTS essentially as well; bench_evidence/onchip_r4/
+        freeze_ab_*.jsonl, BASELINE.md r4).  Kept: never slower, and the
+        frozen call path skips re-marshaling the two state pytrees on every
+        dispatch.
         Outputs are NOT bit-identical to the argument-passing path (XLA may
         refuse/reorder fusions differently) but are the same computation.
 

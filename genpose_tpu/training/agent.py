@@ -140,11 +140,12 @@ class PoseAgent:
 
     def freeze(self):
         """Bake the CURRENT state into the sampling/energy programs as
-        XLA constants (eval/serving-time, weights pinned): BatchNorm folds
-        into the matmuls and weight layouts pre-pack — measured ~24%
-        whole-pipeline win on the adaptive-RK45 serving path
-        (bench_evidence/onchip_r3/, BASELINE.md r3; same trick as
-        ``InferencePipeline.freeze``).  ``sample``/``get_energy`` use the
+        XLA constants (eval/serving-time, weights pinned; same trick as
+        ``InferencePipeline.freeze``).  Round-4 same-session A/B: within
+        noise vs passing the state as a jit argument (+0.1–0.8%,
+        bench_evidence/onchip_r4/freeze_ab_*.jsonl, BASELINE.md r4) — kept
+        because it is never slower and skips the per-dispatch state
+        marshaling.  ``sample``/``get_energy`` use the
         frozen programs only while ``self.state`` is still the captured
         object; re-call after loading a different checkpoint."""
         import functools as _ft
