@@ -162,11 +162,13 @@ class Config:
     # matmul instead of pre-rounded at the gather).  Added for the round-4
     # bf16-training sweep.  No-op when compute_dtype is float32.
     geometry_dtype: str = "compute"
-    # Run the FIRST N PointNet++ SA stages (matmuls + their inline geometry,
-    # unless geometry_dtype overrides) in f32 while the rest follow
-    # compute_dtype — the bisection knob for WHERE bf16 training loses the
-    # rotation signal (early stages handle raw fine-grained coordinates;
-    # late stages carry most of the FLOPs).  0 = all stages at compute_dtype.
+    # Run the FIRST N (>=0) or LAST |N| (<0) PointNet++ SA stages (matmuls +
+    # their inline geometry, unless geometry_dtype overrides) in f32 while
+    # the rest follow compute_dtype — the bisection knob for WHERE bf16
+    # training loses the rotation signal.  Round-4 sweep finding
+    # (BASELINE.md r4): the failure pins to the final GroupAll stage, so
+    # ``-1`` ("bf16 encoder except the global stage") is the fast supported
+    # mixed-precision training config.  0 = all stages at compute_dtype.
     encoder_f32_stages: int = 0
 
     # ---- testing ----
@@ -217,9 +219,9 @@ class Config:
             val = getattr(self, name)
             if val not in allowed:
                 raise ValueError(f"{name}={val!r} not in {allowed}")
-        if not 0 <= self.encoder_f32_stages <= 5:
+        if not -5 <= self.encoder_f32_stages <= 5:
             raise ValueError(
-                f"encoder_f32_stages={self.encoder_f32_stages} not in [0, 5]")
+                f"encoder_f32_stages={self.encoder_f32_stages} not in [-5, 5]")
 
     def replace(self, **kwargs) -> "Config":
         return dataclasses.replace(self, **kwargs)

@@ -142,6 +142,22 @@ def sa_geometry(xyz, npoint, radii, nsamples, dtype=jnp.float32):
     return {"new_xyz": new_xyz, "gidx": gidx, "grouped_xyz": grouped_xyz}
 
 
+def stage_is_f32(k: int, n_stages: int, f32_stages: int) -> bool:
+    """Does SA stage ``k`` (of ``n_stages``) run f32 under the
+    ``encoder_f32_stages`` knob?
+
+    ``f32_stages >= 0``: the FIRST N stages are f32 (prefix — the original
+    bisection direction: early stages handle raw fine-grained coordinates).
+    ``f32_stages < 0``: the LAST |N| stages are f32 (suffix — added round 4
+    after the bisection pinned the bf16 rotation-learning failure to the
+    final GroupAll stage: ``-1`` expresses "bf16 encoder except the global
+    stage", the fast supported mixed config; BASELINE.md r4 sweep).
+    """
+    if f32_stages >= 0:
+        return k < f32_stages
+    return k >= n_stages + f32_stages
+
+
 def cls_msg_geometry(pointcloud, config: str = "light", dtype=jnp.float32,
                      f32_stages: int = 0):
     """Per-stage :func:`sa_geometry` list for :class:`Pointnet2ClsMSG`.
@@ -150,13 +166,14 @@ def cls_msg_geometry(pointcloud, config: str = "light", dtype=jnp.float32,
     features/weights, so the whole list is encoder-parameter-free.
     ``dtype`` must match the consuming encoders' compute dtype (see
     :func:`sa_geometry`); ``f32_stages`` mirrors the encoder's
-    ``f32_stages`` (the first N stages' geometry stays f32).
+    ``f32_stages`` (prefix/suffix per :func:`stage_is_f32`).
     """
     params = CLS_MSG_CONFIGS[config]
+    n_stages = len(params["NPOINTS"])
     xyz = pointcloud[..., :3]
     geoms = []
-    for k in range(len(params["NPOINTS"])):
-        sdt = jnp.float32 if k < f32_stages else dtype
+    for k in range(n_stages):
+        sdt = jnp.float32 if stage_is_f32(k, n_stages, f32_stages) else dtype
         g = sa_geometry(xyz, params["NPOINTS"][k], params["RADIUS"][k],
                         params["NSAMPLE"][k], dtype=sdt)
         geoms.append(g)
@@ -364,9 +381,10 @@ class Pointnet2ClsMSG(nn.Module):
     dtype: jnp.dtype = jnp.float32
     bn_dtype: Optional[jnp.dtype] = None  # see PointnetSAModuleMSG
     geometry_dtype: Optional[jnp.dtype] = None  # see PointnetSAModuleMSG
-    # run the first N SA stages fully in f32 (matmuls + inline geometry
-    # unless geometry_dtype overrides) — the bf16-training bisection knob
-    # (``encoder_f32_stages`` config)
+    # run the FIRST N (>=0) or LAST |N| (<0) SA stages fully in f32
+    # (matmuls + inline geometry unless geometry_dtype overrides) — the
+    # bf16-training bisection knob (``encoder_f32_stages`` config; see
+    # :func:`stage_is_f32`)
     f32_stages: int = 0
     fast_grad_gathers: bool = False  # see PointnetSAModuleMSG
     fast_fwd_gathers: bool = False  # see PointnetSAModuleMSG
@@ -382,9 +400,12 @@ class Pointnet2ClsMSG(nn.Module):
         xyz = pointcloud[..., :3]
         features = pointcloud[..., 3:] if pointcloud.shape[-1] > 3 else None
 
-        for k in range(len(params["NPOINTS"])):
+        n_stages = len(params["NPOINTS"])
+        for k in range(n_stages):
             mlps: List[List[int]] = [list(m) for m in params["MLPS"][k]]
-            sdt = jnp.float32 if k < self.f32_stages else self.dtype
+            sdt = (jnp.float32
+                   if stage_is_f32(k, n_stages, self.f32_stages)
+                   else self.dtype)
             xyz_new, features = PointnetSAModuleMSG(
                 npoint=params["NPOINTS"][k],
                 radii=tuple(params["RADIUS"][k]),

@@ -176,6 +176,51 @@ def test_encoder_f32_stages_under_bf16():
     assert np.isfinite(float(loss["gf"]))
 
 
+def test_encoder_f32_stages_negative_is_suffix():
+    """encoder_f32_stages=-1 + bf16 compute: ONLY the final GroupAll stage
+    runs f32 (the round-4 supported mixed-precision training config — the
+    bisection pinned the bf16 rotation failure to that stage); the
+    shared-geometry invariant holds bit-exactly; f32 compute stays a no-op."""
+    from genpose_tpu.models.pointnet2 import stage_is_f32
+    from genpose_tpu.models.posenet import GFObjectPose
+
+    assert [stage_is_f32(k, 4, -1) for k in range(4)] == [False] * 3 + [True]
+    assert [stage_is_f32(k, 4, 2) for k in range(4)] == [True, True,
+                                                        False, False]
+
+    base = Config(num_points=96, repeat_num=2, batch_size=4)
+    batch = _batch(jax.random.PRNGKey(10))
+    pts = batch["zero_mean_pts"]
+
+    # f32 compute: exact no-op on the encoder features
+    feats = []
+    for k in (0, -1):
+        agent = PoseAgent(base.replace(encoder_f32_stages=k), "score",
+                          steps_per_epoch=4)
+        v = {"params": agent.state.params,
+             "batch_stats": agent.state.batch_stats}
+        feats.append(np.asarray(agent.model.apply(
+            v, pts, train=False, method=GFObjectPose.encode_pts)))
+    np.testing.assert_array_equal(feats[0], feats[1])
+
+    # bf16 + suffix -1: early-stage geometry bf16, GroupAll-stage f32
+    cfg = base.replace(compute_dtype="bfloat16", encoder_f32_stages=-1)
+    agent = PoseAgent(cfg, "score", steps_per_epoch=4)
+    geom = agent.pts_geometry(pts)
+    assert geom[0]["grouped_xyz"][0].dtype == jnp.bfloat16
+    assert geom[-1]["grouped_xyz"][0].dtype == jnp.float32
+    v = {"params": agent.state.params,
+         "batch_stats": agent.state.batch_stats}
+    fi = agent.model.apply(v, pts, train=False,
+                           method=GFObjectPose.encode_pts)
+    fs = agent.model.apply(v, pts, train=False, geometry=geom,
+                           method=GFObjectPose.encode_pts)
+    np.testing.assert_array_equal(np.asarray(fi, np.float32),
+                                  np.asarray(fs, np.float32))
+    loss = agent.train_step(batch, jax.random.PRNGKey(11))
+    assert np.isfinite(float(loss["gf"]))
+
+
 def test_cli_accepts_and_validates_knobs():
     cfg = get_config(["--bn_dtype", "float32", "--geometry_dtype", "float32",
                       "--encoder_f32_stages", "2"])

@@ -54,6 +54,7 @@ def main():
                  head_dtype=os.environ.get("HEAD_DTYPE", "compute"),
                  bn_dtype=os.environ.get("BN_DTYPE", "compute"),
                  geometry_dtype=os.environ.get("GEOM_DTYPE", "compute"),
+                 encoder_f32_stages=int(os.environ.get("F32_STAGES", "0")),
                  gather_grad=os.environ.get("GATHER_GRAD", "exact"),
                  gather_fwd=os.environ.get("GATHER_FWD", "exact"))
     agent = PoseAgent(cfg, "score")

@@ -25,7 +25,8 @@ from genpose_tpu.config import Config
 from genpose_tpu.ops.pose import get_rot_matrix
 from genpose_tpu.training.agent import PoseAgent
 
-BS, N_STEPS = 64, 3000
+BS = 64
+N_STEPS = int(os.environ.get("N_STEPS", "3000"))
 rng = np.random.default_rng(0)
 
 # fixed library of 4 clouds with known poses; each batch draws poses anew
