@@ -120,16 +120,20 @@ def main():
     # ~20-35 ms RPC (round-2 measurement: 3-dispatch chaining reads ~1830
     # poses/s where the device actually sustains ~2840) — host/tunnel
     # overhead a real deployment overlaps with compute, not device time.
-    # ``time_chain`` (shared with tools/profile_*.py so the technique cannot
-    # drift) syncs via a host copy (block_until_ready alone is unreliable
-    # over the tunnel) and keeps the trip count TRACED (a static n=32 bound
-    # made the same program compile 21-28 min vs ~5 min, CLAUDE.md); heads
-    # are perturbed above so XLA cannot constant-fold the sampler.
-    # pipe._run_frozen inlines under time_chain's jit; outputs other than
-    # pred_pose are dead-code-eliminated.
-    from genpose_tpu.utils.benchmarking import time_chain
+    # ``time_chain_marginal`` (shared with tools/profile_*.py so the
+    # technique cannot drift) syncs via a host copy (block_until_ready alone
+    # is unreliable over the tunnel), keeps the trip count TRACED (a static
+    # n=32 bound made the same program compile 21-28 min vs ~5 min,
+    # CLAUDE.md), and times the SAME executable at n and 2n trips — the
+    # difference cancels the fixed per-dispatch envelope (~22-30 ms tunnel
+    # RPC + sync; at 32 iters that is ~0.7-0.9 ms/iter = ~5% inflation a
+    # plain per-iter reading would carry; round-4 method change, matching
+    # the bs=1 correction in BASELINE.md r4).  Heads are perturbed above so
+    # XLA cannot constant-fold the sampler.  pipe._run_frozen inlines under
+    # the jit; outputs other than pred_pose are dead-code-eliminated.
+    from genpose_tpu.utils.benchmarking import time_chain_marginal
 
-    sec_per_iter = time_chain(
+    sec_per_iter, envelope = time_chain_marginal(
         lambda p, k: pipe._run_frozen(p, k)["pred_pose"],
         pts, jax.random.PRNGKey(1), iters, (bs, 7))
 
@@ -140,6 +144,7 @@ def main():
         "value": round(poses_per_sec, 2),
         "unit": "poses/s",
         "vs_baseline": round(poses_per_sec / BASELINE_POSES_PER_SEC, 2),
+        "dispatch_envelope_ms": round(1e3 * envelope, 1),
     }))
 
 
