@@ -166,9 +166,12 @@ class Config:
     # their inline geometry, unless geometry_dtype overrides) in f32 while
     # the rest follow compute_dtype — the bisection knob for WHERE bf16
     # training loses the rotation signal.  Round-4 sweep finding
-    # (BASELINE.md r4): the failure pins to the final GroupAll stage, so
-    # ``-1`` ("bf16 encoder except the global stage") is the fast supported
-    # mixed-precision training config.  0 = all stages at compute_dtype.
+    # (BASELINE.md r4): ``-2`` ("f32 last two stages") is the SUPPORTED
+    # mixed-precision training config (`--compute_dtype bfloat16
+    # --encoder_f32_stages -2` = 2,058 samples/s, 1.34x f32, convergence
+    # matching f32); ``-1`` was the bisection probe and is only PARTIALLY
+    # convergent (rotation learns at ~half rate — experimental, not
+    # supported).  0 = all stages at compute_dtype.
     encoder_f32_stages: int = 0
 
     # ---- testing ----

@@ -149,9 +149,11 @@ def stage_is_f32(k: int, n_stages: int, f32_stages: int) -> bool:
     ``f32_stages >= 0``: the FIRST N stages are f32 (prefix — the original
     bisection direction: early stages handle raw fine-grained coordinates).
     ``f32_stages < 0``: the LAST |N| stages are f32 (suffix — added round 4
-    after the bisection pinned the bf16 rotation-learning failure to the
-    final GroupAll stage: ``-1`` expresses "bf16 encoder except the global
-    stage", the fast supported mixed config; BASELINE.md r4 sweep).
+    after the bisection showed GroupAll bf16 is the dominant cause of the
+    bf16 rotation-learning failure, but f32 on the last TWO stages is
+    required for full convergence: ``-1`` was the bisection probe and only
+    partially converges, ``-2`` is the supported mixed config;
+    BASELINE.md r4 sweep).
     """
     if f32_stages >= 0:
         return k < f32_stages

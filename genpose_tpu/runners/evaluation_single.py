@@ -431,12 +431,12 @@ def main(argv=None):
         print(f"Sharding eval batches over {n_dev} devices")
 
     def _load(agent, model_dir):
+        # restore preserves the template's mesh placement — the agents below
+        # are built WITH the mesh, so the restored state stays replicated
+        # (tests/test_checkpoint.py::test_restore_preserves_mesh_sharding)
         agent.state = load_checkpoint(
             os.path.join("results", "ckpts", model_dir),
             agent.state, load_model_only=True)
-        if mesh is not None:  # checkpoint load drops device placement
-            from genpose_tpu.parallel.mesh import replicate
-            agent.state = replicate(mesh, agent.state)
 
     print("Predict pose ...")
     score_agent = PoseAgent(cfg, "score", mesh=mesh)

@@ -47,6 +47,10 @@ class InferencePipeline:
         self.keep = max(1, int(cfg.ratio * self.K))
         self.mesh = mesh
 
+        # the agents are built WITH the mesh, so checkpoint restore keeps
+        # their replicated placement — load_checkpoint restores with the
+        # template state's sharding
+        # (tests/test_checkpoint.py::test_restore_preserves_mesh_sharding)
         self.score_agent = PoseAgent(cfg, "score", mesh=mesh)
         self.energy_agent = PoseAgent(cfg, "energy", mesh=mesh)
         if score_ckpt:
@@ -55,11 +59,6 @@ class InferencePipeline:
         if energy_ckpt:
             self.energy_agent.state = load_checkpoint(
                 energy_ckpt, self.energy_agent.state, load_model_only=True)
-        if mesh is not None:
-            from genpose_tpu.parallel.mesh import replicate
-
-            self.score_agent.state = replicate(mesh, self.score_agent.state)
-            self.energy_agent.state = replicate(mesh, self.energy_agent.state)
 
         K, keep, steps, T0 = (self.K, self.keep, cfg.sampling_steps, cfg.T0)
         sampler = cfg.sampler_mode[0] if cfg.sampler_mode else "ode"

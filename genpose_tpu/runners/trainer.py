@@ -435,6 +435,8 @@ def prediction(cfg: Config, test_loader, agent: PoseAgent,
 
 
 def _load_pretrained(agent: PoseAgent, path: str, load_model_only=True):
+    # no re-replication needed: restore keeps the template state's mesh
+    # placement (tests/test_checkpoint.py::test_restore_preserves_mesh_sharding)
     agent.state = load_checkpoint(path, agent.state, load_model_only)
 
 

@@ -6,8 +6,15 @@ over the reference:
 
 - the EMA shadow IS checkpointed (the reference silently drops it and
   restores live weights as the shadow on resume, ``posenet_agent.py:125-140``);
-- checkpoints are written atomically and are sharding-aware (orbax restores
-  onto whatever mesh the arrays currently live on).
+- checkpoints are written atomically and restores are sharding-aware: orbax
+  restores every array with the TEMPLATE state's sharding, so a state built
+  under a mesh (``PoseAgent(..., mesh=mesh)`` replicates at construction)
+  stays mesh-replicated after restore and the compiled sharded train step is
+  reused without recompiling — regardless of the topology the checkpoint was
+  saved from.  The flip side: restore does NOT resurrect a saved mesh
+  placement into an unmeshed template.  Both directions are pinned by
+  ``tests/test_checkpoint.py::test_restore_preserves_mesh_sharding`` /
+  ``test_restore_into_unmeshed_template_stays_single_device``.
 
 Layout mirrors the reference: ``<dir>/ckpt_epoch{N}`` + a ``clock.json``.
 """

@@ -70,3 +70,85 @@ def test_training_continues_after_restore(tmp_path):
     out = agent2.train_step(batch, jax.random.PRNGKey(5))
     assert np.isfinite(float(out["gf"]))
     assert int(agent2.state.step) == 2
+
+
+def _assert_replicated(tree, n_devices):
+    for leaf in jax.tree_util.tree_leaves(tree):
+        assert leaf.sharding.is_fully_replicated, leaf.sharding
+        assert len(leaf.sharding.device_set) == n_devices, leaf.sharding
+
+
+def test_restore_preserves_mesh_sharding(tmp_path):
+    """Pins the orbax restore contract under a mesh (round-4 verdict #1).
+
+    ``load_checkpoint`` restores with the TEMPLATE state's sharding: a
+    mesh-replicated agent stays mesh-replicated after restore (no manual
+    re-replication needed — the stale "checkpoint load drops device
+    placement" workaround this test retired lived at the old
+    evaluation_single.py:437), and the already-compiled sharded train step
+    is reused without recompiling.  Covers both save topologies: a
+    checkpoint written from a replicated state and one written from a
+    single-device state restore identically into a mesh template.
+    """
+    from genpose_tpu.parallel.mesh import make_mesh, shard_batch
+
+    assert jax.device_count() >= 8
+    mesh = make_mesh(8)
+    cfg = _cfg()
+
+    agent = PoseAgent(cfg, "score", steps_per_epoch=4, mesh=mesh)
+    _assert_replicated(agent.state.params, 8)  # template precondition
+    batch = shard_batch(mesh, _batch(cfg, jax.random.PRNGKey(0), bs=8))
+    agent.train_step(batch, jax.random.PRNGKey(1))
+    compiles_before = agent._train_step_score._cache_size()
+    path_mesh = save_checkpoint(str(tmp_path / "from_mesh"), agent.state, 1)
+
+    # a single-device-trained checkpoint (the cross-topology resume case the
+    # round-4 comment feared): same contract must hold
+    plain = PoseAgent(cfg, "score", steps_per_epoch=4)
+    plain.train_step(_batch(cfg, jax.random.PRNGKey(0), bs=8),
+                     jax.random.PRNGKey(1))
+    path_plain = save_checkpoint(str(tmp_path / "from_1dev"), plain.state, 1)
+
+    for path in (path_mesh, path_plain):
+        fresh = PoseAgent(cfg, "score", steps_per_epoch=4, mesh=mesh, seed=9)
+        fresh.state = load_checkpoint(path, fresh.state)
+        _assert_replicated(fresh.state.params, 8)
+        _assert_replicated(fresh.state.opt_state, 8)
+        _assert_replicated(fresh.state.ema.shadow, 8)
+
+    # resume into the LIVE agent: the compiled sharded program is reused
+    # (same shardings -> jit cache hit), and the step stays partitioned
+    agent.state = load_checkpoint(path_mesh, agent.state)
+    out = agent.train_step(batch, jax.random.PRNGKey(2))
+    assert np.isfinite(float(out["gf"]))
+    assert agent._train_step_score._cache_size() == compiles_before, (
+        "restore changed the state's shardings — sharded train step recompiled")
+    assert int(agent.state.step) == 2
+
+    # and the restored values are the saved ones (not re-init noise)
+    saved = PoseAgent(cfg, "score", steps_per_epoch=4, mesh=mesh, seed=77)
+    saved.state = load_checkpoint(path_plain, saved.state)
+    for a, b in zip(jax.tree_util.tree_leaves(plain.state.params),
+                    jax.tree_util.tree_leaves(saved.state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_restore_into_unmeshed_template_stays_single_device(tmp_path):
+    """The flip side of the template contract: restore does NOT resurrect the
+    mesh placement a checkpoint was saved with — a runner that builds its
+    agent without the mesh gets single-device arrays and must replicate
+    itself (which is why PoseAgent takes ``mesh`` at construction)."""
+    from genpose_tpu.parallel.mesh import make_mesh, shard_batch
+
+    mesh = make_mesh(8)
+    cfg = _cfg()
+    agent = PoseAgent(cfg, "score", steps_per_epoch=4, mesh=mesh)
+    batch = shard_batch(mesh, _batch(cfg, jax.random.PRNGKey(0), bs=8))
+    agent.train_step(batch, jax.random.PRNGKey(1))
+    path = save_checkpoint(str(tmp_path), agent.state, 1)
+
+    plain = PoseAgent(cfg, "score", steps_per_epoch=4, seed=5)
+    plain.state = load_checkpoint(path, plain.state)
+    for leaf in jax.tree_util.tree_leaves(plain.state.params):
+        assert len(leaf.sharding.device_set) == 1, leaf.sharding

@@ -178,8 +178,8 @@ def test_encoder_f32_stages_under_bf16():
 
 def test_encoder_f32_stages_negative_is_suffix():
     """encoder_f32_stages=-1 + bf16 compute: ONLY the final GroupAll stage
-    runs f32 (the round-4 supported mixed-precision training config — the
-    bisection pinned the bf16 rotation failure to that stage); the
+    runs f32 (the round-4 bisection probe; -2 is the supported mixed config —
+    -1 alone leaves rotation learning at ~half rate, BASELINE.md r4); the
     shared-geometry invariant holds bit-exactly; f32 compute stays a no-op."""
     from genpose_tpu.models.pointnet2 import stage_is_f32
     from genpose_tpu.models.posenet import GFObjectPose
@@ -226,6 +226,10 @@ def test_cli_accepts_and_validates_knobs():
                       "--encoder_f32_stages", "2"])
     assert cfg.bn_dtype == "float32" and cfg.geometry_dtype == "float32"
     assert cfg.encoder_f32_stages == 2
+    # argparse negative-number handling: the supported mixed config (-2) and
+    # the bisection probe (-1) must survive CLI parsing
+    assert get_config(["--encoder_f32_stages", "-2"]).encoder_f32_stages == -2
+    assert get_config(["--encoder_f32_stages", "-1"]).encoder_f32_stages == -1
     with pytest.raises(ValueError):
         Config(bn_dtype="fp32")
     with pytest.raises(ValueError):
