@@ -68,6 +68,77 @@ class PositionalEmbedding(nn.Module):
         return jnp.concatenate([jnp.cos(x), jnp.sin(x)], axis=-1)
 
 
+class TorchBatchNorm(nn.Module):
+    """flax ``nn.BatchNorm`` with torch's running-variance update semantics.
+
+    Identical to ``nn.BatchNorm`` (same params/batch_stats layout and names,
+    f32 statistics + normalization with the BIASED batch variance, output cast
+    to ``dtype``) except the running_var update uses the UNBIASED variance
+    (Bessel factor n/(n-1)) exactly as ``torch.nn.BatchNorm1d/2d`` — the
+    reference's BN stacks (``pytorch_utils.py:5-33``, torch ``F.batch_norm``)
+    normalize with the biased variance but track the unbiased one.  flax
+    tracks the biased variance, which drifts eval-time numerics from a
+    torch-trained twin by var/(n-1) per update (0.5x at the bs=2 parity-test
+    shapes).  Train-mode outputs and the parameter trajectory are untouched
+    (normalization never reads the running stats under train=True).
+    Pinned by ``tests/test_training_parity.py`` (composed update-trajectory
+    golden test vs the running reference).
+    """
+
+    use_running_average: bool | None = None
+    momentum: float = 0.99
+    epsilon: float = 1e-5
+    dtype: jnp.dtype | None = None
+    param_dtype: jnp.dtype = jnp.float32
+    axis_name: str | None = None
+
+    @nn.compact
+    def __call__(self, x, use_running_average: bool | None = None):
+        from flax.linen import module as _fm
+        from flax.linen import normalization as _nrm
+
+        use_running_average = _fm.merge_param(
+            "use_running_average", self.use_running_average,
+            use_running_average)
+        feature_axes = _nrm._canonicalize_axes(x.ndim, -1)
+        reduction_axes = tuple(i for i in range(x.ndim)
+                               if i not in feature_axes)
+        feature_shape = [x.shape[ax] for ax in feature_axes]
+
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda s: jnp.zeros(s, jnp.float32),
+                                feature_shape)
+        ra_var = self.variable("batch_stats", "var",
+                               lambda s: jnp.ones(s, jnp.float32),
+                               feature_shape)
+
+        if use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            axis_name = (self.axis_name
+                         if not self.is_initializing() else None)
+            mean, var = _nrm._compute_stats(
+                x, reduction_axes, dtype=self.dtype, axis_name=axis_name,
+                use_fast_variance=True, force_float32_reductions=True)
+            if not self.is_initializing():
+                n = 1
+                for ax in reduction_axes:
+                    n *= x.shape[ax]
+                if axis_name is not None:  # pmap/shard_map: global count
+                    n = n * jax.lax.psum(1, axis_name)
+                bessel = n / jnp.maximum(n - 1, 1).astype(jnp.float32) \
+                    if not isinstance(n, int) else n / max(n - 1, 1)
+                m = self.momentum
+                ra_mean.value = m * ra_mean.value + (1 - m) * mean
+                ra_var.value = m * ra_var.value + (1 - m) * var * bessel
+
+        return _nrm._normalize(
+            self, x, mean, var, reduction_axes, feature_axes, self.dtype,
+            self.param_dtype, self.epsilon, use_bias=True, use_scale=True,
+            bias_init=nn.initializers.zeros, scale_init=nn.initializers.ones,
+            force_float32_reductions=True)
+
+
 class SharedMLP(nn.Module):
     """Per-point MLP: Dense + BN + ReLU stacks over the trailing feature dim.
 
@@ -95,7 +166,7 @@ class SharedMLP(nn.Module):
                          name=f"dense_{i}")(x)
             if self.use_bn:
                 # torch BatchNorm2d defaults: momentum 0.1 (=> flax 0.9), eps 1e-5
-                x = nn.BatchNorm(
+                x = TorchBatchNorm(
                     use_running_average=not train,
                     momentum=0.9,
                     epsilon=1e-5,
@@ -246,8 +317,8 @@ class PerPointTail(nn.Module):
             (self.pose_feat_dim, 1024))
         self.bias1 = self.param("bias1", nn.initializers.zeros, (1024,))
         # torch BatchNorm1d defaults: momentum 0.1 (=> flax 0.9), eps 1e-5
-        bn = lambda name: nn.BatchNorm(momentum=0.9, epsilon=1e-5,
-                                       dtype=self.dtype, name=name)
+        bn = lambda name: TorchBatchNorm(momentum=0.9, epsilon=1e-5,
+                                         dtype=self.dtype, name=name)
         self.bn1, self.bn2, self.bn3 = bn("bn1"), bn("bn2"), bn("bn3")
         self.conv2 = nn.Dense(256, dtype=self.dtype, name="conv2")
         self.conv3 = nn.Dense(256, dtype=self.dtype, name="conv3")

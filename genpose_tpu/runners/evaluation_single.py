@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from genpose_tpu.config import Config, get_config
+from genpose_tpu.config import Config, enable_compile_cache, get_config
 from genpose_tpu.data.dataset_utils import (
     aug_bbox_eval,
     backproject_and_sample,
@@ -415,6 +415,7 @@ def evaluate(cfg: Config, inference_res_dir: str,
 
 def main(argv=None):
     cfg = get_config(argv if argv is not None else sys.argv[1:])
+    enable_compile_cache(cfg)
     inference_res_root = os.path.join(cfg.result_dir, "evaluation_results")
     inference_res_dir = os.path.join(
         inference_res_root, f"{cfg.test_source}_repeat_{cfg.eval_repeat_num}")

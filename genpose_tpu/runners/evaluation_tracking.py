@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from genpose_tpu.config import Config, get_config
+from genpose_tpu.config import Config, enable_compile_cache, get_config
 from genpose_tpu.eval.metrics import compute_RT_errors
 from genpose_tpu.ops.pose import (
     average_quaternion_batch,
@@ -276,6 +276,7 @@ def main_tracking(cfg: Config, tracking: bool = True, T0: float = 0.15):
 
 def main(argv=None):
     cfg = get_config(argv if argv is not None else sys.argv[1:])
+    enable_compile_cache(cfg)
     main_tracking(cfg, tracking=True, T0=cfg.T0)
 
 

@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from genpose_tpu.config import Config
+from genpose_tpu.config import Config, enable_compile_cache
 from genpose_tpu.training.agent import PoseAgent
 from genpose_tpu.training.checkpoints import load_checkpoint
 from genpose_tpu.training.ranking import sort_poses_by_energy
@@ -42,6 +42,7 @@ class InferencePipeline:
         mesh=None,
     ):
         self.cfg = cfg
+        enable_compile_cache(cfg)
         self.bs = batch_size or cfg.batch_size
         self.K = cfg.eval_repeat_num
         self.keep = max(1, int(cfg.ratio * self.K))

@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from genpose_tpu.config import Config, get_config
+from genpose_tpu.config import Config, enable_compile_cache, get_config
 from genpose_tpu.data.loader import get_data_loaders_from_cfg
 from genpose_tpu.data.process import process_batch
 from genpose_tpu.eval.metrics import get_metrics
@@ -478,6 +478,7 @@ def _resolve_eval_weights(cfg: Config, agent: PoseAgent, ckpt_dir: str):
 
 def main(argv=None):
     cfg = get_config(argv if argv is not None else sys.argv[1:])
+    enable_compile_cache(cfg)
     if cfg.results_path:
         print("Start evaluate ...")
         evaluation(cfg)

@@ -198,12 +198,37 @@ def _make_pointnet2_cuda() -> types.ModuleType:
         g = torch.gather(features, 2, flat).reshape(B, C, N, 3)
         out.copy_((g * weight.unsqueeze(1)).sum(-1))
 
+    # ---- backward (atomicAdd scatter) wrappers: needed by the reference's
+    # autograd Functions when the training-parity tests BACKPROP through the
+    # encoder (``sampling_gpu.cu:8-83``, ``group_points_gpu.cu:8-44``,
+    # ``interpolate_gpu.cu:77-160``) ----
+
+    def gather_points_grad_wrapper(B, C, N, npoint, grad_out, idx, grad_pts):
+        flat = idx.long().unsqueeze(1).expand(B, C, npoint)
+        grad_pts.scatter_add_(2, flat, grad_out)
+
+    def group_points_grad_wrapper(B, C, N, npoint, nsample, grad_out, idx,
+                                  grad_features):
+        flat = idx.long().reshape(B, 1, npoint * nsample).expand(B, C, -1)
+        grad_features.scatter_add_(2, flat,
+                                   grad_out.reshape(B, C, npoint * nsample))
+
+    def three_interpolate_grad_wrapper(B, C, N, M, grad_out, idx, weight,
+                                       grad_features):
+        flat = idx.long().reshape(B, 1, N * 3).expand(B, C, -1)
+        contrib = (grad_out.unsqueeze(-1) * weight.unsqueeze(1)).reshape(
+            B, C, N * 3)
+        grad_features.scatter_add_(2, flat, contrib)
+
     m.furthest_point_sampling_wrapper = furthest_point_sampling_wrapper
     m.gather_points_wrapper = gather_points_wrapper
     m.ball_query_wrapper = ball_query_wrapper
     m.group_points_wrapper = group_points_wrapper
     m.three_nn_wrapper = three_nn_wrapper
     m.three_interpolate_wrapper = three_interpolate_wrapper
+    m.gather_points_grad_wrapper = gather_points_grad_wrapper
+    m.group_points_grad_wrapper = group_points_grad_wrapper
+    m.three_interpolate_grad_wrapper = three_interpolate_grad_wrapper
     return m
 
 

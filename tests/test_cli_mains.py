@@ -271,3 +271,54 @@ def test_reference_script_flags_parse(script):
     if not flags:
         pytest.skip("no flags")
     get_config(flags)
+
+
+def test_runner_clis_enable_persistent_compile_cache(tree, tmp_path,
+                                                     monkeypatch):
+    """The runner CLIs wire the persistent XLA compile cache (round-4 verdict
+    #5: bench.py and every profiling tool cached their compiles while
+    trainer/eval starts repaid the full server-side compile every run).
+    ``enable_compile_cache`` honors $GENPOSE_COMPILE_CACHE, redirects jax's
+    cache dir, and a tiny real ``trainer.main`` run POPULATES the directory
+    (min-compile-time forced to 0 via $GENPOSE_CACHE_MIN_COMPILE_SECS so the
+    tiny programs qualify)."""
+    import jax
+
+    from genpose_tpu.config import Config, enable_compile_cache
+    from genpose_tpu.runners import trainer
+
+    nocs, _, _ = tree
+    monkeypatch.chdir(tmp_path)
+    cache = tmp_path / "jaxcache"
+    monkeypatch.setenv("GENPOSE_COMPILE_CACHE", str(cache))
+    monkeypatch.setenv("GENPOSE_CACHE_MIN_COMPILE_SECS", "0")
+    try:
+        # unit: env override + default-on knob + empty disables
+        assert enable_compile_cache(Config()) == str(cache)
+        monkeypatch.delenv("GENPOSE_COMPILE_CACHE")
+        assert enable_compile_cache(
+            Config(compile_cache_dir="")) is None
+        assert enable_compile_cache(Config()) == "/tmp/genpose_jax_cache"
+        monkeypatch.setenv("GENPOSE_COMPILE_CACHE", str(cache))
+
+        # deliberately UNIQUE shapes (points/batch/steps no other test
+        # uses): programs another test already compiled sit in the
+        # in-process jit cache and would never reach the disk cache, making
+        # the populated-dir assertion order-dependent
+        trainer.main([
+            "--agent_type", "score", "--data_path", nocs, "--is_train",
+            "true", "--n_epochs", "1", "--eval_freq", "1",
+            "--log_dir", "cachetest", "--warmup", "2", "--repeat_num", "3",
+            "--eval_repeat_num", "2", "--batch_size", "3", "--mini_bs", "3",
+            "--num_points", "72", "--sampling_steps", "5",
+            "--num_devices", "1"])
+        assert cache.is_dir() and any(cache.iterdir()), (
+            "trainer.main compiled without populating the persistent cache")
+    finally:
+        # restore the suite-wide test cache for later tests (reset: the
+        # cache handle is lazily bound to the dir at first compile)
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        from jax.experimental.compilation_cache import compilation_cache as cc
+        cc.reset_cache()

@@ -1,5 +1,7 @@
 """Data pipeline tests: synthetic NOCS tree -> dataset -> loader -> process_batch."""
 
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -251,7 +253,44 @@ def test_process_loader_matches_thread_loader(tmp_path):
         return out
 
     thread_e = epochs("thread")
-    process_e = epochs("process")
+    # The process arm runs in a FRESH interpreter: production forks the
+    # worker pool at loader init, BEFORE any jax backend threads exist
+    # (loader.py fork-at-first-iter docs).  Forking from this long-lived
+    # test process instead would fork a multithreaded-JAX parent and trip
+    # the os.fork() warning — a test artifact, not the supported shape
+    # (round-4 verdict hygiene item).
+    import pickle
+    import subprocess
+    import sys
+
+    out_pkl = str(tmp_path / "process_epochs.pkl")
+    child = f"""
+import pickle, sys
+sys.path.insert(0, {repr(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))})
+import numpy as np
+from genpose_tpu.config import Config
+from genpose_tpu.data.loader import DataLoader
+from genpose_tpu.data.nocs import NOCSDataset
+cfg = Config()
+ds = NOCSDataset(data_dir={root!r}, source="CAMERA+Real", mode="train",
+                 n_pts=64, img_size=cfg.img_size, dzi_params=cfg.dzi,
+                 deform_2d_params=cfg.deform_2d, seed=7)
+loader = DataLoader(ds, batch_size=2, shuffle=False, num_workers=2,
+                    workers_mode="process", seed=3,
+                    indices=np.array([0, 1, 0, 2]))
+out = [list(loader) for _ in range(2)]
+loader.close()
+with open({out_pkl!r}, "wb") as f:
+    pickle.dump(out, f)
+"""
+    res = subprocess.run([sys.executable, "-c", child],
+                         capture_output=True, text=True)
+    assert res.returncode == 0, res.stderr[-2000:]
+    assert "multithreaded" not in res.stderr, (
+        "fork-at-init child still warned about multithreaded fork:\n"
+        + res.stderr[-2000:])
+    with open(out_pkl, "rb") as f:
+        process_e = pickle.load(f)
     for te, pe in zip(thread_e, process_e):
         assert len(te) == len(pe) > 0
         for tb, pb in zip(te, pe):

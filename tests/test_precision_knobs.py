@@ -104,7 +104,11 @@ def test_bn_dtype_f32_is_bit_identical_on_this_flax():
     mixed-precision training sweep (VERDICT r3 #2): BatchNorm precision is
     EXCLUDED as the cause of the r3 bf16 rotation-learning failure by
     construction — the bisection is geometry rounding vs the bf16 matmuls.
-    The knob stays as insurance against flax changing this behavior."""
+    The knob stays as insurance against flax changing this behavior.
+    (Round 5: SharedMLP's BN is now TorchBatchNorm, which reuses flax's
+    f32 _compute_stats/_normalize — the f32-statistics finding carries
+    over; only the running_var increment changed, to torch's unbiased
+    semantics, asserted below.)"""
     from genpose_tpu.models.layers import SharedMLP
 
     x = (jax.random.normal(jax.random.PRNGKey(6), (2, 8, 4, 16)) * 3
@@ -123,16 +127,21 @@ def test_bn_dtype_f32_is_bit_identical_on_this_flax():
     for a, b in zip(jax.tree.leaves(st16), jax.tree.leaves(st32)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     # f32-BN running stats equal the exact f32 statistics of the BN input
-    # (the bf16 Dense output, reproduced with the same bf16 matmul)
+    # (the bf16 Dense output, reproduced with the same bf16 matmul); the
+    # running_var increment is the UNBIASED variance — torch semantics,
+    # round-5 TorchBatchNorm (layers.py), pinned against the running torch
+    # reference by tests/test_training_parity.py
     kern = v["params"]["dense_0"]["kernel"].astype(jnp.bfloat16)
     h = np.asarray(x @ kern, np.float32)
     mean = h.mean(axis=(0, 1, 2))
-    var = h.var(axis=(0, 1, 2))
+    n = h.shape[0] * h.shape[1] * h.shape[2]
+    var_unbiased = h.var(axis=(0, 1, 2)) * n / (n - 1)
     got = st32["bn_0"]
     np.testing.assert_allclose(np.asarray(got["mean"]), 0.1 * mean,
                                rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(np.asarray(got["var"]),
-                               0.9 * 1.0 + 0.1 * var, rtol=1e-5, atol=1e-6)
+                               0.9 * 1.0 + 0.1 * var_unbiased,
+                               rtol=1e-5, atol=1e-6)
 
 
 def test_encoder_f32_stages_under_bf16():

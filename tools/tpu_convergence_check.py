@@ -92,8 +92,21 @@ def eval_sampled(tag):
 
 re0, te0 = eval_sampled("init")
 key = jax.random.PRNGKey(7)
+
+# CRITERION mode (round-5 verdict #5: settle precision configs by
+# WALL-CLOCK-TO-CRITERION, not fixed-step-count comparisons): evaluate every
+# $EVAL_EVERY steps and report the first time rot < $ROT_CRIT deg AND
+# trans < $TRANS_CRIT cm; wall-clock excludes the eval pauses (training
+# compute only — what a real run pays).  0 disables (default: the original
+# fixed-N_STEPS convergence check).
+EVAL_EVERY = int(os.environ.get("EVAL_EVERY", "0"))
+ROT_CRIT = float(os.environ.get("ROT_CRIT", "41.0"))
+TRANS_CRIT = float(os.environ.get("TRANS_CRIT", "3.9"))
+
 t0 = time.perf_counter()
+eval_time = 0.0
 first = last = None
+met_at = None
 for i in range(N_STEPS):
     key, kb, kl = jax.random.split(key, 3)
     batch, _ = make_batch(kb)
@@ -102,9 +115,28 @@ for i in range(N_STEPS):
         first = float(losses["gf"])
     if i % 100 == 0:
         print(f"step {i}: dsm {float(losses['gf']):.1f}", flush=True)
+    if EVAL_EVERY and (i + 1) % EVAL_EVERY == 0:
+        te_start = time.perf_counter()
+        re_i, te_i = eval_sampled(f"eval@{i + 1}")
+        eval_time += time.perf_counter() - te_start
+        train_wall = time.perf_counter() - t0 - eval_time
+        print(f"criterion check @{i + 1}: rot {re_i:.1f} deg "
+              f"trans {te_i * 100:.1f} cm  train_wall {train_wall:.0f}s",
+              flush=True)
+        if re_i < ROT_CRIT and te_i * 100 < TRANS_CRIT:
+            met_at = (i + 1, train_wall)
+            print(f"CRITERION MET at step {i + 1}: {train_wall:.0f}s "
+                  f"training wall-clock (rot {re_i:.1f} < {ROT_CRIT}, "
+                  f"trans {te_i * 100:.1f} < {TRANS_CRIT} cm)", flush=True)
+            break
 last = float(losses["gf"])
-dt = time.perf_counter() - t0
-print(f"{N_STEPS} steps in {dt:.0f}s ({N_STEPS * BS / dt:.0f} samples/s)")
+dt = time.perf_counter() - t0 - eval_time
+steps_run = met_at[0] if met_at else N_STEPS
+print(f"{steps_run} steps in {dt:.0f}s ({steps_run * BS / dt:.0f} samples/s)")
+if EVAL_EVERY:
+    if met_at is None:
+        print(f"CRITERION NOT MET within {N_STEPS} steps ({dt:.0f}s)")
+    raise SystemExit(0)
 re1, te1 = eval_sampled("trained")
 print(f"dsm {first:.1f} -> {last:.1f}; rot {re0:.1f} -> {re1:.1f} deg; "
       f"trans {te0*100:.1f} -> {te1*100:.1f} cm")
