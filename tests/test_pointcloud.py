@@ -318,3 +318,38 @@ def test_gather_fwd_config_wires_fast_fwd():
          "batch_stats": exact_agent.state.batch_stats},
         pts, train=False, method=type(exact_agent.model).encode_pts)
     np.testing.assert_array_equal(np.asarray(f_fast), np.asarray(f_exact))
+
+
+def test_fps_bq_fused_matches_components():
+    """The fused FPS+ball-query kernel (round-5 exploration, VERDICT r4 #7)
+    is bit-identical to fps -> gather centers -> ball_query per radius at
+    the MSG stage shapes (s0 1024->512 with the two s0 radii, and the s2
+    256->128 shape), including first-hit padding and empty balls."""
+    from genpose_tpu.ops.fps_bq_fused import fps_bq_fused
+    from genpose_tpu.ops.pointcloud import (
+        ball_query,
+        farthest_point_sample,
+        gather_points,
+    )
+
+    rng = np.random.RandomState(11)
+    # shapes shrunk for interpret mode (the kernel loops M sequential
+    # rounds in python there); the real-shape A/B runs on chip via
+    # tools/bench_fused_geometry.py
+    for B, N, M, radii, nsamples in (
+        (4, 512, 256, (0.02, 0.04), (16, 32)),
+        (3, 256, 128, (0.08, 0.16), (16, 32)),
+        (2, 100, 64, (0.3,), (8,)),   # unaligned N, big radius, one radius
+    ):
+        pts = (rng.randn(B, N, 3) * 0.1).astype(np.float32)
+        xyz = jnp.asarray(pts)
+        fps_idx, bq = fps_bq_fused(xyz, M, radii, nsamples)
+        ref_idx = farthest_point_sample(xyz, M)
+        np.testing.assert_array_equal(np.asarray(fps_idx),
+                                      np.asarray(ref_idx))
+        centers = gather_points(xyz, ref_idx)
+        for i, (r, s) in enumerate(zip(radii, nsamples)):
+            ref_bq = ball_query(r, s, xyz, centers)
+            np.testing.assert_array_equal(
+                np.asarray(bq[i]), np.asarray(ref_bq),
+                err_msg=f"radius {r} nsample {s} (B={B}, N={N}, M={M})")
