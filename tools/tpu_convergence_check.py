@@ -25,14 +25,18 @@ from genpose_tpu.config import Config
 from genpose_tpu.ops.pose import get_rot_matrix
 from genpose_tpu.training.agent import PoseAgent
 
-BS = 64
+BS = int(os.environ.get("TRAIN_BATCH", "64"))
 N_STEPS = int(os.environ.get("N_STEPS", "3000"))
+# LR defaults to 1e-3 (every arm before round 5 ran this); override for the
+# lr-scaled big-batch convergence arm (VERDICT r4 #4: bs=384 at sqrt- or
+# linear-scaled lr iff profile_train shows a per-sample win at bs>192).
+LR = float(os.environ.get("LR", "1e-3"))
 rng = np.random.default_rng(0)
 
 # fixed library of 4 clouds with known poses; each batch draws poses anew
 clouds = jnp.asarray(rng.normal(size=(4, 1024, 3)).astype(np.float32) * 0.1)
 
-cfg = Config(num_points=1024, repeat_num=20, batch_size=BS, lr=1e-3,
+cfg = Config(num_points=1024, repeat_num=20, batch_size=BS, lr=LR,
              warmup=100,
              compute_dtype=os.environ.get("TRAIN_DTYPE", "float32"),
              head_dtype=os.environ.get("HEAD_DTYPE", "compute"),
@@ -41,7 +45,8 @@ cfg = Config(num_points=1024, repeat_num=20, batch_size=BS, lr=1e-3,
              encoder_f32_stages=int(os.environ.get("F32_STAGES", "0")),
              gather_grad=os.environ.get("GATHER_GRAD", "exact"),
              gather_fwd=os.environ.get("GATHER_FWD", "exact"))
-print(f"config: compute={cfg.compute_dtype} head={cfg.head_dtype} "
+print(f"config: bs={BS} lr={LR:g} "
+      f"compute={cfg.compute_dtype} head={cfg.head_dtype} "
       f"bn={cfg.bn_dtype} geom={cfg.geometry_dtype} "
       f"f32_stages={cfg.encoder_f32_stages} "
       f"gathers={cfg.gather_fwd}/{cfg.gather_grad}", flush=True)
