@@ -17,6 +17,14 @@ the sequential FPS loop instead of 256-at-a-time in a separate grid.  Total
 VPU element-ops are unchanged; the A/B on real hardware decides
 (tools/bench_fused_geometry.py; BASELINE.md r5).
 
+MEASURED AND REJECTED (round 5): 16.4% SLOWER on the 3-stage geometry
+chain at bs=64 (4.101 vs 3.524 ms; s0 −5.7%, s1 −14.5%, s2 +19.8% —
+bench_evidence/onchip_r5/fused_geometry_ab.jsonl).  Running the BQ rows
+64-at-a-time inside the sequential FPS loop loses more grid-level
+parallelism than the saved per-center d² work buys at the two large
+stages.  Kept in-tree (with its bit-exactness test) as a documented dead
+end; production ``sa_geometry`` keeps the separate kernels.
+
 Bit-exactness contract: FPS indices match ``fps_pallas`` (same round
 arithmetic) and each BQ table matches ``ball_query_pallas(r_i, s_i, xyz,
 gather(xyz, fps_idx))`` — the center coordinates used here ARE the selected
