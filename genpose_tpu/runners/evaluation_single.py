@@ -19,6 +19,7 @@ the jitted sampler compiles ONCE; the K hypotheses ride the batch axis.
 
 from __future__ import annotations
 
+import json
 import os
 import pickle
 import sys
@@ -457,7 +458,17 @@ def main(argv=None):
     inference_energy(cfg, energy_agent, inference_res_dir, mesh=mesh)
 
     print("Evaluating ...")
-    evaluate(cfg, inference_res_dir, "results_with_energy.pkl")
+    headline = evaluate(cfg, inference_res_dir, "results_with_energy.pkl")
+    if headline:
+        # machine-readable headline row (mean-class mAP at the paper's four
+        # thresholds, in percent) next to the curves/logs — the reference
+        # only prints these into eval_logs.txt; tools/real275_parity_runbook.sh
+        # consumes this file for the north-star parity check.
+        path = os.path.join(inference_res_dir, "mAP_headline.json")
+        with open(path, "w") as f:
+            json.dump({k: float(v) for k, v in headline.items()}, f, indent=1)
+        print("headline mAP:",
+              {k: round(float(v), 1) for k, v in headline.items()})
 
 
 if __name__ == "__main__":

@@ -71,6 +71,11 @@ def test_evaluation_single_main_artifacts(tree, tmp_path, monkeypatch):
         assert "degree" in open(path).read()
     assert glob.glob(os.path.join(log_dir, "*_mAP.png"))
 
+    with open(os.path.join(inf_dir, "mAP_headline.json")) as f:
+        headline = json.load(f)
+    assert set(headline) == {"5d2cm", "5d5cm", "10d2cm", "10d5cm"}
+    assert all(0.0 <= v <= 100.0 for v in headline.values())
+
 
 def test_evaluation_tracking_main_artifacts(tree, tmp_path, monkeypatch):
     from genpose_tpu.runners import evaluation_tracking as trk
@@ -270,6 +275,40 @@ def test_reference_script_flags_parse(script):
             flags.append("/tmp/dummy" if v.startswith("$") else v.strip("'\""))
     if not flags:
         pytest.skip("no flags")
+    get_config(flags)
+
+
+def test_real275_parity_runbook_gate_and_flags():
+    """tools/real275_parity_runbook.sh (the one-command REAL275 north-star
+    path, blocked in this zero-egress image): the artifact gate must exit 2
+    with an actionable MISSING listing instead of crashing mid-pipeline, and
+    its eval stage's flag set must survive the strict parser so the runbook
+    cannot drift from Config."""
+    import subprocess
+
+    from genpose_tpu.config import get_config
+
+    script = os.path.join(os.path.dirname(__file__), "..", "tools",
+                          "real275_parity_runbook.sh")
+    if os.path.exists(os.path.join(os.path.dirname(script), "..", "results",
+                                   "ckpts", "ScoreNet", "ckpt_genpose.pth")):
+        pytest.skip("released artifacts present — gate untestable")
+    proc = subprocess.run(["bash", script], capture_output=True, text=True)
+    assert proc.returncode == 2, proc.stdout + proc.stderr
+    assert proc.stdout.count("MISSING:") == 3
+
+    text = open(script).read()
+    # slice the eval invocation: after the stage-2 banner, up to the
+    # stage-3 banner's echo (the flag regex spans newlines, so the trailing
+    # partial echo line must go too)
+    stage2 = text.split("stage 2/3")[1].split("stage 3/3")[0]
+    stage2 = stage2.rsplit("echo", 1)[0]
+    import tempfile
+    with tempfile.NamedTemporaryFile("w", suffix=".sh", delete=False) as f:
+        f.write(stage2)
+    flags = _script_flags(f.name)
+    os.unlink(f.name)
+    assert "--sampler_mode" in flags
     get_config(flags)
 
 
