@@ -117,6 +117,14 @@ for i in range(N_STEPS):
     batch, _ = make_batch(kb)
     losses = agent.train_step(batch, kl)
     if i == 0:
+        # exclude the first step (XLA compile, cache-state dependent —
+        # minutes over the tunnel when cold, ~0 when cached) from the
+        # wall-clock: cross-config criterion comparisons must not depend
+        # on which config happened to be compiled in a previous session.
+        jax.block_until_ready(losses["gf"])
+        compile_s = time.perf_counter() - t0
+        print(f"first step (compile, excluded): {compile_s:.0f}s", flush=True)
+        t0 = time.perf_counter()
         first = float(losses["gf"])
     if i % 100 == 0:
         print(f"step {i}: dsm {float(losses['gf']):.1f}", flush=True)
