@@ -41,5 +41,12 @@ run_arm $EV/criterion_f32_v2.log \
 run_arm $EV/criterion_e2_v2.log \
   env TRAIN_DTYPE=bfloat16 F32_STAGES=-2 GATHER_GRAD=fast GATHER_FWD=fast \
   EVAL_EVERY=500 N_STEPS=9000 python tools/tpu_convergence_check.py
+# The -1 first pass used the compile-excluded tool but ran during visible
+# tunnel degradation (632 samples/s where E2 — a strictly SLOWER config per
+# step — read 577 with a 200 s compile inside its wall); re-run for a wall
+# comparable with the two arms above.
+run_arm $EV/criterion_f32last1_v2.log \
+  env TRAIN_DTYPE=bfloat16 F32_STAGES=-1 GATHER_GRAD=fast GATHER_FWD=fast \
+  EVAL_EVERY=500 N_STEPS=9000 python tools/tpu_convergence_check.py
 
 echo "=== QUEUE R5B COMPLETE $(date +%H:%M:%S) ==="
