@@ -170,9 +170,10 @@ class Config:
     # (BASELINE.md r4): ``-2`` ("f32 last two stages") is the SUPPORTED
     # mixed-precision training config (`--compute_dtype bfloat16
     # --encoder_f32_stages -2` = 2,058 samples/s, 1.34x f32, convergence
-    # matching f32); ``-1`` was the bisection probe and is only PARTIALLY
-    # convergent (rotation learns at ~half rate — experimental, not
-    # supported).  0 = all stages at compute_dtype.
+    # matching f32); ``-1`` was the bisection probe and is RETIRED as a
+    # measured rejection (rotation learns at ~half rate; slowest and only
+    # non-monotone arm on the r5 wall-to-criterion A/B, BASELINE.md r5 —
+    # don't re-measure).  0 = all stages at compute_dtype.
     encoder_f32_stages: int = 0
     # Persistent XLA compile cache for the runner CLIs (trainer, eval_single,
     # eval_tracking, serving warmup) — the big server-side pipeline compiles
